@@ -1,0 +1,185 @@
+"""Device-resident isochrone grids and EEP-aligned interpolation.
+
+TPU-native replacement for the reference MS/RGB model hierarchy
+[upstream: base9/MsRgbModels/*.{cpp,hpp}, base9/Isochrone.hpp — SURVEY.md
+C5].  Where the C++ walks ragged per-(FeH,Y,age) isochrone vectors with
+pointers, we rectangularize: every isochrone is padded to a common EEP
+count E with a validity mask, so the whole model family is five dense
+arrays that live in HBM and interpolate with gathers + FMAs (SURVEY.md §7
+hard-part #2).
+
+`derive_isochrone` is the analog of the reference's
+`deriveIsochrone(feh, y, age)`: a 2x2x2 multilinear blend across the
+(FeH, Y, logAge) axes, aligned by EEP index, producing the proposal
+isochrone used by every star's likelihood.  It is pure, jittable, and
+differentiable (piecewise-linear in the query point).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from base_tpu.ops import interp as iops
+
+# Mass value assigned to padded (invalid) EEP slots; must exceed any real
+# stellar mass and increase with slot index to keep searchsorted monotone.
+PAD_MASS_BASE = 1.0e4
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class IsochroneGrid:
+    """Packed MS/RGB model family.
+
+    Axes: feh [F], y [Y], age [A] (monotone increasing, log10 yr for age).
+    mass  [F, Y, A, E]    initial (ZAMS) mass at each EEP, Msun
+    mags  [F, Y, A, E, B] absolute magnitudes per band
+    valid [F, Y, A, E]    1.0 where the EEP exists for this isochrone
+    agb_tip [F, Y, A]     mass at the AGB tip (upper end of the isochrone)
+    """
+
+    feh: Array
+    y: Array
+    age: Array
+    mass: Array
+    mags: Array
+    valid: Array
+    agb_tip: Array
+    bands: tuple[str, ...] = dataclasses.field(
+        metadata=dict(static=True), default=()
+    )
+    name: str = dataclasses.field(metadata=dict(static=True), default="")
+
+    @property
+    def n_eep(self) -> int:
+        return self.mass.shape[-1]
+
+    @property
+    def n_bands(self) -> int:
+        return self.mags.shape[-1]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Isochrone:
+    """One interpolated isochrone at a given (FeH, Y, logAge).
+
+    mass_sorted pads invalid EEPs with huge increasing masses so that
+    1-D mass->mags interpolation (secondaries, simulation) stays monotone.
+    """
+
+    mass: Array         # [E]
+    mags: Array         # [E, B] absolute magnitudes
+    valid: Array        # [E] {0., 1.}
+    agb_tip: Array      # scalar
+    in_bounds: Array    # scalar bool
+    mass_sorted: Array  # [E] mass with pad slots pushed high
+    min_mass: Array     # scalar: smallest valid mass on the isochrone
+
+    def mags_at_mass(self, m: Array) -> Array:
+        """Piecewise-linear lookup of absolute mags at ZAMS mass m.
+
+        Analog of the reference `msRgbEvol(mass)` [SURVEY.md C5].  Queries
+        are clamped to the isochrone's mass hull; callers mask companions
+        below `min_mass` or above `agb_tip` themselves.
+        """
+        return iops.interp1d(self.mass_sorted, self.mags, m)
+
+
+def derive_isochrone(grid: IsochroneGrid, feh, y, age) -> Isochrone:
+    """EEP-aligned 2x2x2 interpolation over the (FeH, Y, logAge) axes."""
+    corners, weights, inside = iops.gather_corners(
+        (grid.feh, grid.y, grid.age), (feh, y, age)
+    )
+    mass = iops.blend(corners, weights, grid.mass)
+    mags_num = None
+    # Blend mags weighted by corner validity so that a padded corner does
+    # not drag a valid EEP's magnitudes toward the pad values.
+    valid = None
+    for idx, w in zip(corners, weights):
+        v = grid.valid[idx]
+        m = grid.mags[idx] * (w * v)[..., None]
+        mags_num = m if mags_num is None else mags_num + m
+        valid = v if valid is None else jnp.minimum(valid, v)
+    # Weight normalization: sum of w*v over corners (equals 1 when all
+    # corners valid; EEPs kept only when every corner is valid anyway).
+    wv = None
+    for idx, w in zip(corners, weights):
+        t = grid.valid[idx] * w
+        wv = t if wv is None else wv + t
+    mags = mags_num / jnp.maximum(wv, 1e-12)[..., None]
+    agb_tip = iops.blend(corners, weights, grid.agb_tip)
+
+    e_idx = jnp.arange(mass.shape[0], dtype=mass.dtype)
+    mass_sorted = jnp.where(valid > 0.5, mass, PAD_MASS_BASE + e_idx)
+    min_mass = jnp.min(jnp.where(valid > 0.5, mass, PAD_MASS_BASE))
+    return Isochrone(
+        mass=mass,
+        mags=mags,
+        valid=valid,
+        agb_tip=agb_tip,
+        in_bounds=inside,
+        mass_sorted=mass_sorted,
+        min_mass=min_mass,
+    )
+
+
+def eep_mass_weights(iso: Isochrone) -> Array:
+    """Quadrature weights dM per EEP (central differences, masked).
+
+    Equivalent of the reference's between-EEP dMass weights in
+    margEvolveWithBinary [SURVEY.md C10].
+    """
+    m = iso.mass
+    dm_fwd = jnp.diff(m, append=m[-1:])
+    dm_bwd = jnp.diff(m, prepend=m[:1])
+    dm = 0.5 * (jnp.abs(dm_fwd) + jnp.abs(dm_bwd))
+    return jnp.where(iso.valid > 0.5, dm, 0.0)
+
+
+def pack_ragged(
+    feh_axis: np.ndarray,
+    y_axis: np.ndarray,
+    age_axis: np.ndarray,
+    isochrones: dict,
+    bands: Sequence[str],
+    name: str = "",
+) -> IsochroneGrid:
+    """Pack a ragged {(fi, yi, ai): (mass[e], mags[e, B])} dict into dense
+    arrays with validity masks.  Host-side (numpy), done once at load.
+    """
+    F, Y, A = len(feh_axis), len(y_axis), len(age_axis)
+    E = max(v[0].shape[0] for v in isochrones.values())
+    B = len(bands)
+    mass = np.zeros((F, Y, A, E), np.float32)
+    mags = np.zeros((F, Y, A, E, B), np.float32)
+    valid = np.zeros((F, Y, A, E), np.float32)
+    agb_tip = np.zeros((F, Y, A), np.float32)
+    for (fi, yi, ai), (m, mg) in isochrones.items():
+        n = m.shape[0]
+        order = np.argsort(m, kind="stable")
+        m, mg = m[order], mg[order]
+        mass[fi, yi, ai, :n] = m
+        mags[fi, yi, ai, :n] = mg
+        valid[fi, yi, ai, :n] = 1.0
+        agb_tip[fi, yi, ai] = m[-1]
+        # Pad slots: repeat the tip mass region is wrong for searchsorted;
+        # padded entries are masked at use sites, values irrelevant here.
+        mass[fi, yi, ai, n:] = m[-1]
+        mags[fi, yi, ai, n:] = mg[-1]
+    return IsochroneGrid(
+        feh=jnp.asarray(feh_axis, jnp.float32),
+        y=jnp.asarray(y_axis, jnp.float32),
+        age=jnp.asarray(age_axis, jnp.float32),
+        mass=jnp.asarray(mass),
+        mags=jnp.asarray(mags),
+        valid=jnp.asarray(valid),
+        agb_tip=jnp.asarray(agb_tip),
+        bands=tuple(bands),
+        name=name,
+    )
