@@ -129,6 +129,55 @@ def derive_isochrone(grid: IsochroneGrid, feh, y, age) -> Isochrone:
     )
 
 
+def upsample_isochrone(iso: Isochrone, factor: int) -> Isochrone:
+    """Insert `factor - 1` linearly-interpolated nodes per EEP segment.
+
+    The model magnitudes are piecewise-linear in mass (that is the
+    interpolation model), so upsampling is exact — it only refines the
+    mass-marginalization quadrature so that adjacent nodes differ by
+    << sigma_obs in magnitude space.  Without this, the node-sum
+    quadrature misses stars that sit between coarse EEPs (the integrand
+    width in mass is ~ sigma / |dmag/dM|).
+    """
+    if factor <= 1:
+        return iso
+    E = iso.mass.shape[0]
+    t = jnp.arange(factor, dtype=iso.mass.dtype) / factor  # [R]
+
+    def lerp(a):  # a: [E, ...] -> [(E-1)*R + 1, ...]
+        lo = a[:-1]
+        hi = a[1:]
+        tt = t.reshape((1, factor) + (1,) * (a.ndim - 1))
+        seg = lo[:, None] * (1.0 - tt) + hi[:, None] * tt  # [E-1, R, ...]
+        seg = seg.reshape((-1,) + a.shape[1:])
+        return jnp.concatenate([seg, a[-1:]], axis=0)
+
+    mass = lerp(iso.mass)
+    mags = lerp(iso.mags)
+    # A sub-node is valid only if both parent EEPs are valid (r > 0) or
+    # the left parent is (r == 0).
+    v_lo = iso.valid[:-1]
+    v_hi = iso.valid[1:]
+    both = jnp.minimum(v_lo, v_hi)
+    seg_v = jnp.concatenate(
+        [v_lo[:, None], jnp.broadcast_to(both[:, None], (E - 1, factor - 1))],
+        axis=1,
+    ).reshape(-1)
+    valid = jnp.concatenate([seg_v, iso.valid[-1:]], axis=0)
+
+    e_idx = jnp.arange(mass.shape[0], dtype=mass.dtype)
+    mass_sorted = jnp.where(valid > 0.5, mass, PAD_MASS_BASE + e_idx)
+    return Isochrone(
+        mass=mass,
+        mags=mags,
+        valid=valid,
+        agb_tip=iso.agb_tip,
+        in_bounds=iso.in_bounds,
+        mass_sorted=mass_sorted,
+        min_mass=iso.min_mass,
+    )
+
+
 def eep_mass_weights(iso: Isochrone) -> Array:
     """Quadrature weights dM per EEP (central differences, masked).
 

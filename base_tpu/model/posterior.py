@@ -1,0 +1,138 @@
+"""Posterior assembly: the jittable `log_post(params) -> scalar` density.
+
+This is the TPU-native analog of the reference's logPostStep [upstream:
+singlePopMcmc/MpiMcmcApplication.cpp — SURVEY.md §3.1]: bounds check ->
+cluster prior -> isochrone derive -> per-star marginal likelihoods ->
+field mixture -> total.  It is a pure function of (model pytree, params
+vector), so samplers vmap it over chains and grad through it for
+HMC/NUTS.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from base_tpu import constants as C
+from base_tpu.grids import filters as filt
+from base_tpu.grids.isochrone import IsochroneGrid, derive_isochrone
+from base_tpu.model import likelihood as lk
+from base_tpu.model.priors import ClusterPriors
+from base_tpu.model.stardata import MSStars
+from base_tpu.ops.special import NEG_INF
+from base_tpu.utils.transforms import IntervalTransform, make_interval_transform
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SinglePopModel:
+    """Everything static for one single-population inference run."""
+
+    grid: IsochroneGrid
+    stars: MSStars
+    priors: ClusterPriors
+    q_grid: Array      # [Q] mass-ratio quadrature nodes
+    abs_coefs: Array   # [B] A_band / A_V
+    binaries: bool = dataclasses.field(metadata=dict(static=True), default=True)
+    uniform_q: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    upsample: int = dataclasses.field(metadata=dict(static=True), default=4)
+
+
+def make_single_pop_model(
+    grid: IsochroneGrid,
+    stars: MSStars,
+    prior_mean: np.ndarray,
+    prior_sigma: np.ndarray,
+    n_q: int = 16,
+    binaries: bool = True,
+    uniform_q: bool = False,
+    upsample: int = 4,
+) -> SinglePopModel:
+    return SinglePopModel(
+        grid=grid,
+        stars=stars,
+        priors=ClusterPriors(
+            mean=jnp.asarray(prior_mean, jnp.float32),
+            sigma=jnp.asarray(prior_sigma, jnp.float32),
+        ),
+        q_grid=jnp.linspace(0.0, 1.0, n_q, dtype=jnp.float32),
+        abs_coefs=jnp.asarray(filt.absorption_coefs(grid.bands)),
+        binaries=binaries,
+        uniform_q=uniform_q,
+        upsample=upsample,
+    )
+
+
+def log_post(model: SinglePopModel, params: Array) -> Array:
+    """Un-normalized log posterior of the 9-param cluster vector.
+
+    Out-of-hull (age, Y, FeH) returns NEG_INF — the reference's bounds
+    shortcut [SURVEY.md §3.1]; gradient samplers avoid the cliff by
+    sampling through `default_transform`.
+    """
+    age = params[C.Param.AGE]
+    y = params[C.Param.YYY]
+    feh = params[C.Param.FEH]
+    mod = params[C.Param.MOD]
+    av = params[C.Param.ABS]
+
+    iso = derive_isochrone(model.grid, feh, y, age)
+    table = lk.combined_mags_table(
+        iso,
+        model.q_grid,
+        mod,
+        av,
+        model.abs_coefs,
+        binaries=model.binaries,
+        uniform_q=model.uniform_q,
+        upsample=model.upsample,
+    )
+    ll = lk.ms_total_loglik(model.stars, table)
+    lp = model.priors.log_prior(params)
+    out = ll + lp
+    return jnp.where(iso.in_bounds, out, NEG_INF)
+
+
+def default_transform(model: SinglePopModel, margin: float = 1e-3) -> IntervalTransform:
+    """Unconstrained-space bijection with bounds from the grid hull.
+
+    age/Y/FeH: grid extent (slightly shrunk); A_V in [0, 10];
+    carbonicity in [0, 1]; modulus and IFMR coefficients unbounded.
+    """
+    g = model.grid
+    lo = np.full(C.NPARAMS, -np.inf, np.float32)
+    hi = np.full(C.NPARAMS, np.inf, np.float32)
+
+    def span(ax):
+        a0, a1 = float(ax[0]), float(ax[-1])
+        d = (a1 - a0) * margin
+        return a0 + d, a1 - d
+
+    lo[C.Param.AGE], hi[C.Param.AGE] = span(g.age)
+    lo[C.Param.YYY], hi[C.Param.YYY] = span(g.y)
+    lo[C.Param.FEH], hi[C.Param.FEH] = span(g.feh)
+    lo[C.Param.ABS], hi[C.Param.ABS] = 0.0, 10.0
+    lo[C.Param.CARBONICITY], hi[C.Param.CARBONICITY] = 0.0, 1.0
+    return make_interval_transform(lo, hi)
+
+
+def make_logpost_fn(model: SinglePopModel):
+    """Returns `f(params) -> scalar` closed over the model pytree."""
+
+    def f(params: Array) -> Array:
+        return log_post(model, params)
+
+    return f
+
+
+def make_logpost_z_fn(model: SinglePopModel, transform: IntervalTransform):
+    """Unconstrained-space density for HMC/NUTS: logpost(x(z)) + log|J|."""
+
+    def f(z: Array) -> Array:
+        x = transform.forward(z)
+        return log_post(model, x) + transform.log_det_jacobian(z)
+
+    return f
