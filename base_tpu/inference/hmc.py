@@ -1,0 +1,249 @@
+"""HMC with dual-averaging step size and cross-chain mass adaptation.
+
+The reference has no gradient sampler — adding one is the core of the
+TPU-native redesign (BASELINE.json:5 requires NUTS/HMC; SURVEY.md §7
+step 3).  Design:
+
+- Leapfrog is a `lax.scan` over a randomly jittered number of steps
+  (full `l_max` trajectory computed, state selected at the jittered
+  length — static shapes, no host sync).
+- Warmup runs as a static unrolled sequence of *windows*; inside each
+  window every chain scans independently under `vmap`, and between
+  windows the diagonal mass matrix is re-estimated from the POOLED
+  cross-chain sample variance — many chains make short windows
+  informative, which is exactly the chips-full-of-chains regime.
+- Step size: Nesterov dual averaging per chain toward a target
+  acceptance, then frozen at the across-chain mean of the DA average
+  for sampling.
+- `axis_name`: when chains are sharded over a mesh axis (shard_map),
+  the pooled variance and frozen step size combine across devices with
+  `psum` — the whole sampler then runs identically from 1 chip to a pod
+  (SURVEY.md §2.4 chain-parallel = DP axis).
+
+The function is fully traceable: wrap `run_hmc` in jit (single device)
+or `shard_map` + jit (sharded chains).  Operates in unconstrained
+space: pass the transformed density from posterior.make_logpost_z_fn.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from base_tpu.ops.special import NEG_INF
+
+
+@dataclasses.dataclass(frozen=True)
+class HMCConfig:
+    n_warmup: int = 500
+    n_samples: int = 1000
+    thin: int = 1
+    l_max: int = 24              # max leapfrog steps per trajectory
+    target_accept: float = 0.8
+    init_step: float = 0.05
+    n_windows: int = 4           # mass-matrix re-estimation points
+    jitter_traj: bool = True     # random trajectory lengths (0.5-1) * l_max
+
+
+class DAState(NamedTuple):
+    """Nesterov dual-averaging state for log step size."""
+
+    log_eps: Array
+    log_eps_avg: Array
+    h_avg: Array
+    mu: Array
+    count: Array
+
+
+def da_init(eps0: float) -> DAState:
+    le = jnp.log(jnp.asarray(eps0, jnp.float32))
+    return DAState(
+        log_eps=le,
+        log_eps_avg=le,
+        h_avg=jnp.zeros(()),
+        mu=jnp.log(10.0) + le,
+        count=jnp.zeros(()),
+    )
+
+
+def da_update(s: DAState, accept_prob: Array, target: float) -> DAState:
+    gamma, t0, kappa = 0.05, 10.0, 0.75
+    count = s.count + 1.0
+    h_avg = (1.0 - 1.0 / (count + t0)) * s.h_avg + (
+        target - accept_prob
+    ) / (count + t0)
+    log_eps = s.mu - jnp.sqrt(count) / gamma * h_avg
+    w = count ** (-kappa)
+    log_eps_avg = w * log_eps + (1.0 - w) * s.log_eps_avg
+    return DAState(log_eps, log_eps_avg, h_avg, s.mu, count)
+
+
+class HMCChainState(NamedTuple):
+    z: Array         # [P] unconstrained position
+    logpost: Array
+    grad: Array      # [P] cached gradient at z
+    key: Array
+    da: DAState
+
+
+def _leapfrog(logpost_and_grad, z, p, grad, eps, inv_mass, n_steps, l_max):
+    """l_max leapfrog steps; returns the state after `n_steps` (<= l_max).
+
+    All l_max steps are computed (static shape); the trajectory endpoint
+    is the scan output at index n_steps-1.  Cost is bounded by l_max
+    regardless of jitter, which keeps every chain in a vmap batch on the
+    same program.
+    """
+
+    def step(carry, _):
+        z, p, grad = carry
+        p_half = p + 0.5 * eps * grad
+        z_new = z + eps * inv_mass * p_half
+        lp, g = logpost_and_grad(z_new)
+        p_new = p_half + 0.5 * eps * g
+        return (z_new, p_new, g), (z_new, p_new, lp, g)
+
+    _, (zs, ps, lps, gs) = jax.lax.scan(step, (z, p, grad), None, length=l_max)
+    idx = jnp.clip(n_steps - 1, 0, l_max - 1)
+    return zs[idx], ps[idx], lps[idx], gs[idx]
+
+
+def hmc_transition(
+    logpost_and_grad: Callable,
+    state: HMCChainState,
+    eps: Array,
+    inv_mass: Array,
+    cfg: HMCConfig,
+) -> tuple[HMCChainState, Array]:
+    """One HMC proposal + MH correction.  Returns (state, accept_prob)."""
+    key, k_mom, k_len, k_acc = jax.random.split(state.key, 4)
+    P = state.z.shape[0]
+    # momentum ~ N(0, M), M = 1/inv_mass (diagonal)
+    p0 = jax.random.normal(k_mom, (P,)) / jnp.sqrt(inv_mass)
+    if cfg.jitter_traj:
+        u = jax.random.uniform(k_len, (), minval=0.5, maxval=1.0)
+        n_steps = jnp.ceil(u * cfg.l_max).astype(jnp.int32)
+    else:
+        n_steps = jnp.asarray(cfg.l_max, jnp.int32)
+
+    z1, p1, lp1, g1 = _leapfrog(
+        logpost_and_grad, state.z, p0, state.grad, eps, inv_mass,
+        n_steps, cfg.l_max,
+    )
+    ke0 = 0.5 * jnp.sum(p0 * p0 * inv_mass)
+    ke1 = 0.5 * jnp.sum(p1 * p1 * inv_mass)
+    log_ratio = (lp1 - ke1) - (state.logpost - ke0)
+    log_ratio = jnp.where(jnp.isfinite(log_ratio), log_ratio, -jnp.inf)
+    accept_prob = jnp.minimum(1.0, jnp.exp(jnp.minimum(log_ratio, 0.0)))
+    accept = jnp.log(jax.random.uniform(k_acc, ())) < log_ratio
+    accept = accept & (lp1 > NEG_INF / 2)
+    new = HMCChainState(
+        z=jnp.where(accept, z1, state.z),
+        logpost=jnp.where(accept, lp1, state.logpost),
+        grad=jnp.where(accept, g1, state.grad),
+        key=key,
+        da=state.da,
+    )
+    return new, accept_prob
+
+
+def _pooled_mean_var(zs: Array, axis_name: str | None):
+    """Mean/variance of zs [..., P] pooled over all leading axes and, if
+    axis_name is set, over the device axis via psum."""
+    P = zs.shape[-1]
+    flat = zs.reshape(-1, P)
+    n = jnp.asarray(flat.shape[0], jnp.float32)
+    s1 = jnp.sum(flat, axis=0)
+    s2 = jnp.sum(flat * flat, axis=0)
+    if axis_name is not None:
+        n = jax.lax.psum(n, axis_name)
+        s1 = jax.lax.psum(s1, axis_name)
+        s2 = jax.lax.psum(s2, axis_name)
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - mean * mean, 0.0)
+    return mean, var
+
+
+def run_hmc(
+    logpost_fn: Callable,
+    init_z: Array,          # [C, P] one row per (local) chain
+    key: Array,
+    cfg: HMCConfig = HMCConfig(),
+    axis_name: str | None = None,
+):
+    """Warmup (windowed, cross-chain mass adaptation) + sampling.
+
+    Fully traceable — wrap in jit yourself, or in shard_map with
+    `axis_name` set to the chain mesh axis.  Returns (samples
+    [n_rec, C, P] in unconstrained space, info dict).
+    """
+    C, P = init_z.shape
+    vgrad = jax.value_and_grad(logpost_fn)
+
+    keys = jax.random.split(key, C)
+    lp0, g0 = jax.vmap(vgrad)(init_z)
+    states = HMCChainState(
+        z=init_z,
+        logpost=lp0,
+        grad=g0,
+        key=keys,
+        da=jax.vmap(lambda _: da_init(cfg.init_step))(jnp.arange(C)),
+    )
+    inv_mass = jnp.ones((P,))
+
+    def warmup_segment(states, inv_mass, n_iters):
+        def one_chain(st):
+            def body(st, _):
+                eps = jnp.exp(st.da.log_eps)
+                st2, ap = hmc_transition(vgrad, st, eps, inv_mass, cfg)
+                st2 = st2._replace(da=da_update(st2.da, ap, cfg.target_accept))
+                return st2, st2.z
+
+            return jax.lax.scan(body, st, None, length=n_iters)
+
+        states, zs = jax.vmap(one_chain)(states)  # zs [C, n, P]
+        return states, zs
+
+    seg_len = max(cfg.n_warmup // cfg.n_windows, 1)
+    for w in range(cfg.n_windows):
+        states, zs = warmup_segment(states, inv_mass, seg_len)
+        if w >= 1:
+            # Pooled cross-chain variance -> diagonal mass matrix
+            # (inv_mass = Sigma ~ posterior covariance diagonal).
+            _, var = _pooled_mean_var(zs, axis_name)
+            inv_mass = var + 1e-6
+
+    # Freeze step size at the cross-chain mean of the DA average (a mean,
+    # not a median, so it pools exactly across shards with one psum).
+    le = jnp.mean(states.da.log_eps_avg)
+    if axis_name is not None:
+        le = jax.lax.pmean(le, axis_name)
+    eps_final = jnp.exp(le)
+
+    def sample_phase(states):
+        def one_chain(st):
+            def body(st, _):
+                def inner(s, _):
+                    s2, ap = hmc_transition(vgrad, s, eps_final, inv_mass, cfg)
+                    return s2, ap
+
+                st, aps = jax.lax.scan(inner, st, None, length=cfg.thin)
+                return st, (st.z, st.logpost, jnp.mean(aps))
+
+            return jax.lax.scan(body, st, None, length=cfg.n_samples // cfg.thin)
+
+        return jax.vmap(one_chain)(states)
+
+    states, (zs, lps, aps) = sample_phase(states)
+    samples = jnp.swapaxes(zs, 0, 1)  # [n_rec, C, P]
+    info = dict(
+        accept_prob=jnp.mean(aps),
+        step_size=eps_final,
+        inv_mass=inv_mass,
+        logposts=jnp.swapaxes(lps, 0, 1),
+        final_states=states,
+    )
+    return samples, info

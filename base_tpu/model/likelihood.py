@@ -3,17 +3,26 @@
 TPU-native redesign of the reference inner loop [upstream: base9/marg.cpp
 margEvolveWithBinary + base9/densities.cpp logLikelihood — SURVEY.md C10,
 §3.2].  The reference loops stars x EEPs x secondary-masses x bands with
-CPU threads; here the same quadrature is one dense computation:
+CPU threads and sums exp(logPost) node contributions; here the same
+integral is computed **segment-exactly** as one dense computation:
 
 1. Per proposal, build a combined-magnitude table over (EEP e, mass-ratio
    q_k) nodes: primary mags from the interpolated isochrone, secondary
-   mags by mass lookup at m2 = q_k * m1_e, fluxes summed (deriveCombinedMags
-   analog), distance modulus + per-band extinction applied.
-2. The Gaussian band sum against S stars is one fused broadcast-reduce
-   (residual form, float32-exact) -> chi2 [S, E*Q]; an MXU matmul
-   variant exists for wide band sets.
-3. Mass marginalization = masked logsumexp over E*Q with IMF x dM x dm2
-   quadrature weights — log-space, so no underflow for faint stars.
+   mags by mass lookup at m2 = q_k * m1_e, fluxes summed
+   (deriveCombinedMags analog), distance modulus + per-band extinction
+   applied.  Adjacent EEP nodes bound T = (E-1)*Q mass *segments*.
+2. Within a segment the model magnitudes are (by the interpolation model)
+   linear in mass, so chi2(t) = alpha t^2 - 2 beta t + gamma is quadratic
+   in the segment coordinate t in [0, 1] and the mass integral of
+   exp(-chi2/2) is a closed-form Gaussian segment integral (erf
+   difference).  The node-sum quadrature of the reference aliases badly
+   when EEP spacing in magnitude exceeds sigma_obs; the segment form is
+   EXACT for single stars on the piecewise-linear model, at the same
+   O(S*T*B) cost (alpha, beta, gamma are three band-contractions that map
+   onto the MXU).
+3. Mass marginalization = masked logsumexp over segments with
+   IMF x dM x dm2 quadrature weights — log-space, no underflow for faint
+   stars.
 4. Field-star mixture: logaddexp of the cluster marginal against the
    uniform-CMD field density weighted by the membership prior.
 
@@ -23,26 +32,61 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 from jax import Array
 
-from base_tpu.grids.isochrone import Isochrone, eep_mass_weights
+from base_tpu.grids.isochrone import Isochrone
 from base_tpu.model import priors
 from base_tpu.model.stardata import MSStars
 from base_tpu.ops.special import NEG_INF, masked_logsumexp
 
 LN10_04 = 0.9210340371976184  # 0.4 * ln 10
+LOG_2PI = 1.8378770664093453
+_ALPHA_EPS = 1e-12
 
 
-class ModelTable(NamedTuple):
-    """Flattened (EEP x q) model-point table for one proposal."""
+class SegmentTable(NamedTuple):
+    """Flattened (EEP-segment x q) model table for one proposal.
 
-    mags: Array  # [T, B] apparent combined magnitudes
-    logw: Array  # [T] log quadrature weights (IMF x dM x dm2)
-    mask: Array  # [T] {0,1}
+    T = (E-1) * Q segments; within each, apparent combined magnitudes run
+    linearly from `lo` to `hi` as primary mass runs across the segment.
+    """
+
+    lo: Array    # [T, B] apparent combined mags at the segment start
+    hi: Array    # [T, B] apparent combined mags at the segment end
+    logw: Array  # [T] log prior-mass weights (IMF x dM x dm2)
+    mask: Array  # [T] bool
 
 
-def combined_mags_table(
+def combined_node_mags(
+    iso: Isochrone,
+    q_grid: Array,
+    modulus: Array,
+    absorption: Array,
+    abs_coefs: Array,
+) -> Array:
+    """Apparent combined (primary+secondary) magnitudes at every
+    (EEP node, mass ratio) pair: [E, Q, B].
+
+    deriveCombinedMags analog [upstream: base9/StellarSystem.cpp —
+    SURVEY.md C3]: mag -> flux, sum, -> mag; companions below the
+    isochrone's lowest valid mass are dark (q = 0 lands here).
+    """
+    E = iso.mass.shape[0]
+    Q = q_grid.shape[0]
+    dist = modulus + absorption * abs_coefs  # [B]
+    app1 = iso.mags + dist  # [E, B]
+    f1 = jnp.exp(-LN10_04 * app1)
+    m2 = iso.mass[:, None] * q_grid[None, :]  # [E, Q]
+    mags2 = iso.mags_at_mass(m2.reshape(-1))  # [E*Q, B]
+    app2 = mags2.reshape(E, Q, -1) + dist
+    lit = (m2 >= iso.min_mass).astype(app2.dtype)  # [E, Q]
+    f2 = jnp.exp(-LN10_04 * app2) * lit[..., None]
+    return -(1.0 / LN10_04) * jnp.log(f1[:, None, :] + f2)  # [E, Q, B]
+
+
+def build_segment_table(
     iso: Isochrone,
     q_grid: Array,
     modulus: Array,
@@ -50,9 +94,8 @@ def combined_mags_table(
     abs_coefs: Array,
     binaries: bool = True,
     uniform_q: bool = False,
-    upsample: int = 4,
-) -> ModelTable:
-    """Build the per-proposal model table.
+) -> SegmentTable:
+    """Build the per-proposal segment table.
 
     q_grid [Q] mass ratios in [0, 1]; q=0 is the no-companion node, which
     the uniform-in-secondary-mass prior covers continuously (the reference
@@ -60,55 +103,116 @@ def combined_mags_table(
     [SURVEY.md C10]; a fixed q grid is an equivalent static-shape
     quadrature).  `uniform_q` switches the secondary prior from uniform in
     m2 (reference behavior, weight m1*dq) to uniform in q (weight dq).
-
-    `upsample` refines the EEP quadrature (exactly — the model is
-    piecewise-linear in mass) so adjacent nodes differ by << sigma in
-    magnitude; pair with `sigma_model` smoothing in make_ms_stars.
     """
-    from base_tpu.grids.isochrone import upsample_isochrone
-
-    iso = upsample_isochrone(iso, upsample)
-    E = iso.mass.shape[0]
     m1 = iso.mass  # [E]
-    dist = modulus + absorption * abs_coefs  # [B]
-    app1 = iso.mags + dist  # [E, B]
-    f1 = jnp.exp(-LN10_04 * app1)
+    dm = m1[1:] - m1[:-1]                      # [E-1]
+    m_mid = 0.5 * (m1[1:] + m1[:-1])           # [E-1]
+    seg_valid = (iso.valid[1:] > 0.5) & (iso.valid[:-1] > 0.5)
+    logw_m = priors.log_imf(m_mid) + jnp.log(jnp.maximum(dm, 1e-30))
 
     if binaries:
+        comb = combined_node_mags(iso, q_grid, modulus, absorption, abs_coefs)
+        lo = comb[:-1]  # [E-1, Q, B]
+        hi = comb[1:]
         Q = q_grid.shape[0]
-        m2 = m1[:, None] * q_grid[None, :]  # [E, Q]
-        mags2 = iso.mags_at_mass(m2.reshape(-1))  # [E*Q, B]
-        app2 = mags2.reshape(E, Q, -1) + dist
-        # Companions below the isochrone's lowest valid mass are dark
-        # (treated as no companion); q=0 lands here automatically.
-        lit = (m2 >= iso.min_mass).astype(app2.dtype)  # [E, Q]
-        f2 = jnp.exp(-LN10_04 * app2) * lit[..., None]
-        comb = -(1.0 / LN10_04) * jnp.log(f1[:, None, :] + f2)  # [E,Q,B]
-
-        # Quadrature weights: trapezoid in q, times m1 for the uniform-in-
-        # secondary-mass prior (dm2 = m1 dq).
         dq = jnp.gradient(q_grid)
         if uniform_q:
-            logw_q = jnp.log(dq)[None, :] + jnp.zeros((E, 1))
+            logw_q = jnp.broadcast_to(jnp.log(dq)[None, :], (m_mid.shape[0], Q))
         else:
-            logw_q = jnp.log(jnp.maximum(m1, 1e-12))[:, None] + jnp.log(dq)[None, :]
-        logw = (
-            priors.log_imf(m1)[:, None]
-            + jnp.log(jnp.maximum(eep_mass_weights(iso), 1e-30))[:, None]
-            + logw_q
-        )
-        mask = jnp.broadcast_to((iso.valid > 0.5)[:, None], (E, Q))
-        B = comb.shape[-1]
-        return ModelTable(
-            mags=comb.reshape(E * Q, B),
-            logw=logw.reshape(E * Q),
-            mask=mask.reshape(E * Q),
+            # uniform in m2: dm2 = m1 dq
+            logw_q = (
+                jnp.log(jnp.maximum(m_mid, 1e-12))[:, None]
+                + jnp.log(dq)[None, :]
+            )
+        logw = logw_m[:, None] + logw_q                     # [E-1, Q]
+        mask = jnp.broadcast_to(seg_valid[:, None], logw.shape)
+        B = lo.shape[-1]
+        return SegmentTable(
+            lo=lo.transpose(0, 1, 2).reshape(-1, B),
+            hi=hi.reshape(-1, B),
+            logw=logw.reshape(-1),
+            mask=mask.reshape(-1),
         )
     else:
-        logw = priors.log_imf(m1) + jnp.log(
-            jnp.maximum(eep_mass_weights(iso), 1e-30)
+        dist = modulus + absorption * abs_coefs
+        app = iso.mags + dist  # [E, B]
+        return SegmentTable(
+            lo=app[:-1], hi=app[1:], logw=logw_m, mask=seg_valid
         )
-        return ModelTable(mags=app1, logw=logw, mask=iso.valid > 0.5)
+
+
+def _log_ndtr_diff(a: Array, b: Array) -> Array:
+    """log(Phi(b) - Phi(a)) for b >= a, stable in both tails.
+
+    Reflects to the left tail (where log_ndtr is computed as an asymptotic
+    series) whenever the interval sits in the right tail.
+    """
+    flip = (a + b) > 0
+    aa = jnp.where(flip, -b, a)
+    bb = jnp.where(flip, -a, b)
+    la = jax.scipy.special.log_ndtr(aa)
+    lb = jax.scipy.special.log_ndtr(bb)
+    # la <= lb; clamp the ratio away from 1 so log1p stays finite for
+    # infinitesimally thin intervals (their weight is negligible anyway).
+    d = jnp.minimum(la - lb, -1e-7)
+    return lb + jnp.log1p(-jnp.exp(d))
+
+
+def segment_logintegrals(stars: MSStars, table: SegmentTable) -> Array:
+    """log of the exact per-segment Gaussian mass integral, per star: [S, T].
+
+    For segment t with mags m(t) = lo + t (hi - lo), t in [0, 1]:
+      chi2(t) = alpha t^2 - 2 beta t + gamma      (per star)
+      integral_0^1 exp(-chi2/2) dt
+        = exp(-(gamma - beta^2/alpha)/2) sqrt(2 pi / alpha)
+          * [Phi(sqrt(alpha)(1 - mu)) - Phi(-sqrt(alpha) mu)],  mu = beta/alpha.
+    Computed in residual form (r = obs - lo is O(sigma) near the peak), so
+    float32 is exact where it matters.  alpha -> 0 (flat segment) falls
+    back to exp(-gamma/2).
+    """
+    d = table.hi - table.lo                                 # [T, B]
+    r = stars.obs_mags[:, None, :] - table.lo[None, :, :]   # [S, T, B]
+    iv = stars.inv_var[:, None, :]                          # [S, 1, B]
+    alpha = jnp.sum(iv * d[None] * d[None], axis=-1)        # [S, T]
+    beta = jnp.sum(iv * r * d[None], axis=-1)
+    gamma = jnp.sum(iv * r * r, axis=-1)
+
+    ac = jnp.maximum(alpha, _ALPHA_EPS)
+    mu = beta / ac
+    resid = jnp.maximum(gamma - beta * beta / ac, 0.0)
+    sq = jnp.sqrt(ac)
+    log_phi = _log_ndtr_diff(-sq * mu, sq * (1.0 - mu))
+    log_i = -0.5 * resid + 0.5 * (LOG_2PI - jnp.log(ac)) + log_phi
+    flat = -0.5 * gamma  # alpha ~ 0: integrand constant over the segment
+    out = jnp.where(alpha > _ALPHA_EPS, log_i, flat)
+    return out + stars.log_norm[:, None]
+
+
+def ms_star_log_marginals(stars: MSStars, table: SegmentTable) -> Array:
+    """Per-star log marginal cluster likelihood: logsumexp of the exact
+    segment integrals against the prior weights.  [S]"""
+    ll = segment_logintegrals(stars, table)  # [S, T]
+    return masked_logsumexp(ll + table.logw[None, :], table.mask[None, :], axis=-1)
+
+
+def ms_total_loglik(stars: MSStars, table: SegmentTable) -> Array:
+    """Sum over stars of the field-mixture log posterior density.
+
+    density_s = CMprior_s * L_cluster_s + (1 - CMprior_s) * L_field_s
+    [upstream: field-star mixture in base9/densities.cpp — SURVEY.md C9].
+    """
+    log_clust = ms_star_log_marginals(stars, table)  # [S]
+    a = stars.log_cm + log_clust
+    b = stars.log_1m_cm + stars.field_logdens
+    m = jnp.maximum(a, b)
+    per_star = m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m))
+    per_star = jnp.maximum(per_star, NEG_INF)
+    return jnp.sum(per_star * stars.star_mask)
+
+
+# --- Nodal (pointwise) likelihood helpers -----------------------------------
+# Used by the per-star conditional samplers (sampleMass analog) and tests;
+# the marginal path above never calls these.
 
 
 def gaussian_loglik_matrix(stars: MSStars, model_mags: Array) -> Array:
@@ -140,25 +244,3 @@ def gaussian_loglik_matmul(stars: MSStars, model_mags: Array, center: Array) -> 
     c0 = jnp.sum(o * o * stars.inv_var, axis=-1)
     chi2 = c0[:, None] - 2.0 * cross + quad
     return -0.5 * chi2 + stars.log_norm[:, None]
-
-
-def ms_star_log_marginals(stars: MSStars, table: ModelTable) -> Array:
-    """Per-star log marginal cluster likelihood: logsumexp over the mass
-    quadrature.  [S]"""
-    ll = gaussian_loglik_matrix(stars, table.mags)  # [S, T]
-    return masked_logsumexp(ll + table.logw[None, :], table.mask[None, :], axis=-1)
-
-
-def ms_total_loglik(stars: MSStars, table: ModelTable) -> Array:
-    """Sum over stars of the field-mixture log posterior density.
-
-    density_s = CMprior_s * L_cluster_s + (1 - CMprior_s) * L_field_s
-    [upstream: field-star mixture in base9/densities.cpp — SURVEY.md C9].
-    """
-    log_clust = ms_star_log_marginals(stars, table)  # [S]
-    a = stars.log_cm + log_clust
-    b = stars.log_1m_cm + stars.field_logdens
-    m = jnp.maximum(a, b)
-    per_star = m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m))
-    per_star = jnp.maximum(per_star, NEG_INF)
-    return jnp.sum(per_star * stars.star_mask)

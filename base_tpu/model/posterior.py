@@ -38,7 +38,6 @@ class SinglePopModel:
     abs_coefs: Array   # [B] A_band / A_V
     binaries: bool = dataclasses.field(metadata=dict(static=True), default=True)
     uniform_q: bool = dataclasses.field(metadata=dict(static=True), default=False)
-    upsample: int = dataclasses.field(metadata=dict(static=True), default=4)
 
 
 def make_single_pop_model(
@@ -49,7 +48,6 @@ def make_single_pop_model(
     n_q: int = 16,
     binaries: bool = True,
     uniform_q: bool = False,
-    upsample: int = 4,
 ) -> SinglePopModel:
     return SinglePopModel(
         grid=grid,
@@ -62,7 +60,6 @@ def make_single_pop_model(
         abs_coefs=jnp.asarray(filt.absorption_coefs(grid.bands)),
         binaries=binaries,
         uniform_q=uniform_q,
-        upsample=upsample,
     )
 
 
@@ -80,7 +77,7 @@ def log_post(model: SinglePopModel, params: Array) -> Array:
     av = params[C.Param.ABS]
 
     iso = derive_isochrone(model.grid, feh, y, age)
-    table = lk.combined_mags_table(
+    table = lk.build_segment_table(
         iso,
         model.q_grid,
         mod,
@@ -88,7 +85,6 @@ def log_post(model: SinglePopModel, params: Array) -> Array:
         model.abs_coefs,
         binaries=model.binaries,
         uniform_q=model.uniform_q,
-        upsample=model.upsample,
     )
     ll = lk.ms_total_loglik(model.stars, table)
     lp = model.priors.log_prior(params)

@@ -23,13 +23,13 @@ def dataset(small_grid):
                            percent_binary=0.3)
     sc = scatter_cluster(cat.mags, jax.random.PRNGKey(2), limit_mag=24.0)
     stars = make_ms_stars(np.asarray(sc.mags), np.asarray(sc.sigmas),
-                          cm_prior=0.99, sigma_model=0.02)
+                          cm_prior=0.99)
     model = post.make_single_pop_model(
         small_grid, stars,
         prior_mean=TRUTH,
         prior_sigma=np.array([-1, -1, 0.3, 0.2, 0.1, -1, -1, -1, -1],
                              np.float32),
-        n_q=8, upsample=6,
+        n_q=8,
     )
     return model
 
@@ -86,10 +86,10 @@ def test_padding_stars_do_not_contribute(dataset):
     model = dataset
     stars2 = make_ms_stars(
         np.asarray(model.stars.obs_mags), np.asarray(model.stars.obs_sigma),
-        cm_prior=0.99, pad_to=model.stars.n_stars + 13, sigma_model=0.02,
+        cm_prior=0.99, pad_to=model.stars.n_stars + 13,
     )
     iso = derive_isochrone(model.grid, TRUTH[2], TRUTH[1], TRUTH[0])
-    table = lk.combined_mags_table(
+    table = lk.build_segment_table(
         iso, model.q_grid, TRUTH[3], TRUTH[4], model.abs_coefs
     )
     a = float(lk.ms_total_loglik(model.stars, table))
@@ -132,6 +132,51 @@ def test_vmap_over_chains(dataset):
     assert vals.shape == (4,) and np.isfinite(vals).all()
 
 
+def test_segment_integral_exact(small_grid):
+    """The closed-form segment integral must match brute-force numerical
+    integration of the piecewise-linear model to float32 accuracy."""
+    iso = derive_isochrone(small_grid, -0.5, 0.27, 9.3)
+    q = jnp.asarray([0.0], jnp.float32)
+    table = lk.build_segment_table(iso, q, 10.0, 0.3,
+                                   jnp.ones(small_grid.n_bands),
+                                   binaries=False)
+    mags = np.asarray(iso.mags_at_mass(jnp.asarray([0.8, 1.05]))) + 10.3
+    sig = np.full_like(mags, 0.05)
+    stars = make_ms_stars(mags.astype(np.float32), sig.astype(np.float32))
+    got = np.asarray(lk.segment_logintegrals(stars, table))  # [2, T]
+
+    # Brute force: 2000 nodes per segment, trapezoid.
+    lo = np.asarray(table.lo, np.float64)
+    hi = np.asarray(table.hi, np.float64)
+    t = np.linspace(0.0, 1.0, 2000)
+    iv = np.asarray(stars.inv_var, np.float64)
+    ln = np.asarray(stars.log_norm, np.float64)
+    for s in range(2):
+        for seg in range(0, lo.shape[0], 7):
+            m = lo[seg][None, :] * (1 - t)[:, None] + hi[seg][None, :] * t[:, None]
+            chi2 = ((np.asarray(stars.obs_mags, np.float64)[s][None, :] - m) ** 2
+                    * iv[s][None, :]).sum(-1)
+            val = np.trapz(np.exp(-0.5 * (chi2 - chi2.min())), t)
+            want = np.log(max(val, 1e-300)) - 0.5 * chi2.min() + ln[s]
+            if want > -25:  # only check where float32 has precision
+                np.testing.assert_allclose(got[s, seg], want, rtol=0, atol=2e-2)
+
+
+def test_segment_marginal_no_aliasing(dataset):
+    """The log-posterior profile along age must be smooth: adjacent
+    fine-grained age evaluations should not jump by tens of nats (the
+    failure mode of nodal quadrature)."""
+    model = dataset
+    f = jax.jit(jax.vmap(post.make_logpost_fn(model)))
+    ages = np.linspace(9.25, 9.35, 21, dtype=np.float32)
+    batch = np.tile(TRUTH, (21, 1))
+    batch[:, 0] = ages
+    vals = np.asarray(f(jnp.asarray(batch)))
+    assert np.isfinite(vals).all()
+    second_diff = np.abs(np.diff(vals, 2))
+    assert second_diff.max() < 10.0, second_diff.max()
+
+
 def test_field_mixture_floor(dataset):
     """A star nowhere near the isochrone is caught by the field component:
     its contribution is bounded below by log((1-cm)*field_dens)."""
@@ -140,7 +185,7 @@ def test_field_mixture_floor(dataset):
     sig = np.full_like(mags, 0.02)
     stars = make_ms_stars(mags, sig, cm_prior=0.9)
     iso = derive_isochrone(model.grid, TRUTH[2], TRUTH[1], TRUTH[0])
-    table = lk.combined_mags_table(
+    table = lk.build_segment_table(
         iso, model.q_grid, TRUTH[3], TRUTH[4], model.abs_coefs
     )
     tot = float(lk.ms_total_loglik(stars, table))

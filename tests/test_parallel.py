@@ -1,0 +1,133 @@
+"""Diagnostics + sharded-execution tests on the 8-fake-device CPU mesh
+(SURVEY.md §4.2 item 4: exact shard_map/collective code paths in CI)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from base_tpu.inference import diagnostics as diag
+from base_tpu.inference import hmc, mh
+from base_tpu.model import posterior as post
+from base_tpu.model.stardata import make_ms_stars
+from base_tpu.parallel import run as prun
+from base_tpu.parallel.mesh import make_mesh
+from base_tpu.sim.scatter import scatter_cluster
+from base_tpu.sim.simulate import simulate_cluster
+
+TRUTH = np.array([9.3, 0.27, -0.5, 10.0, 0.3, 0.5, 0.0, 0.0, 0.0], np.float32)
+
+
+# ---------- diagnostics ------------------------------------------------------
+
+def test_rhat_iid_close_to_one(rng):
+    x = rng.normal(size=(500, 8, 3)).astype(np.float32)
+    r = np.asarray(diag.split_rhat(jnp.asarray(x)))
+    assert np.all(r < 1.05)
+
+
+def test_rhat_detects_divergent_chains(rng):
+    x = rng.normal(size=(500, 4, 2)).astype(np.float32)
+    x[:, 0, 0] += 10.0  # one chain far away in param 0
+    r = np.asarray(diag.split_rhat(jnp.asarray(x)))
+    assert r[0] > 2.0 and r[1] < 1.05
+
+
+def test_ess_iid(rng):
+    x = rng.normal(size=(1000, 4, 2)).astype(np.float32)
+    e = np.asarray(diag.ess(jnp.asarray(x)))
+    assert np.all(e > 2500) and np.all(e < 6000)
+
+
+def test_ess_ar1(rng):
+    # AR(1) with rho=0.9: tau = (1+rho)/(1-rho) = 19
+    rho, n, c = 0.9, 4000, 4
+    eps = rng.normal(size=(n, c)).astype(np.float32)
+    x = np.zeros((n, c), np.float32)
+    for t in range(1, n):
+        x[t] = rho * x[t - 1] + np.sqrt(1 - rho**2) * eps[t]
+    e = float(diag.ess(jnp.asarray(x[..., None]))[0])
+    want = n * c / 19.0
+    assert 0.5 * want < e < 2.0 * want, (e, want)
+
+
+# ---------- sharded runners --------------------------------------------------
+
+@pytest.fixture(scope="module")
+def cluster_model(small_grid):
+    cat = simulate_cluster(
+        small_grid, jnp.asarray(TRUTH), 50, jax.random.PRNGKey(21),
+        percent_binary=0.0,
+    )
+    sc = scatter_cluster(cat.mags, jax.random.PRNGKey(22), limit_mag=24.0)
+    stars = make_ms_stars(np.asarray(sc.mags), np.asarray(sc.sigmas),
+                          cm_prior=0.999)
+    return post.make_single_pop_model(
+        small_grid, stars,
+        prior_mean=TRUTH,
+        prior_sigma=np.array([-1, -1, 0.3, 0.2, 0.1, -1, -1, -1, -1],
+                             np.float32),
+        n_q=6, binaries=False,
+    )
+
+
+def test_star_sharded_logpost_matches_single_device(cluster_model):
+    """The psum-over-star-shards density must equal the replicated one
+    (50 stars pad to 52 across 4 shards — padding must not leak)."""
+    mesh = make_mesh(n_chain_shards=2, n_star_shards=4)
+    single = post.make_logpost_fn(cluster_model)
+    want = float(single(jnp.asarray(TRUTH)))
+
+    sharded_model = prun.shard_stars(cluster_model, mesh)
+    stars = sharded_model.stars
+    import dataclasses
+    frame = dataclasses.replace(sharded_model, stars=None)
+
+    from jax.sharding import PartitionSpec as P
+
+    def device_fn(stars_local, params):
+        f = prun.local_logpost_fn(frame, stars_local, prun.STAR_AXIS)
+        return f(params)
+
+    fn = jax.jit(jax.shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(prun._star_specs(stars), P()),
+        out_specs=P(), check_vma=False,
+    ))
+    got = float(fn(stars, jnp.asarray(TRUTH)))
+    np.testing.assert_allclose(got, want, rtol=2e-6)
+
+
+def test_mh_sharded_runs_and_recovers(cluster_model):
+    mesh = make_mesh(n_chain_shards=4, n_star_shards=2)
+    step0 = jnp.asarray([0.05, 0.02, 0.05, 0.05, 0.03, 0, 0, 0, 0],
+                        jnp.float32)
+    cfg = mh.MHConfig(n_stage1=200, n_stage2=200, n_main=400)
+    init = jnp.tile(jnp.asarray(TRUTH)[None, :], (8, 1))
+    samples, info = prun.run_mh_sharded(
+        cluster_model, init, jax.random.PRNGKey(7), step0, cfg, mesh
+    )
+    s = np.asarray(samples)  # [n_rec, 8, 9]
+    assert s.shape == (400, 8, 9)
+    assert np.isfinite(np.asarray(info["logposts"])).all()
+    # Chains must differ (per-chain RNG fold_in works).
+    assert np.std(s[-1, :, 0]) > 0
+    age = s[200:, :, 0]
+    assert abs(age.mean() - TRUTH[0]) < 0.1
+
+
+def test_hmc_sharded_runs_and_recovers(cluster_model):
+    mesh = make_mesh(n_chain_shards=4, n_star_shards=2)
+    tr = post.default_transform(cluster_model)
+    z0 = tr.inverse(jnp.asarray(TRUTH))
+    init = jnp.tile(z0[None, :], (8, 1))
+    init = init + 0.01 * jax.random.normal(jax.random.PRNGKey(8), init.shape)
+    cfg = hmc.HMCConfig(n_warmup=100, n_samples=100, l_max=8, n_windows=2)
+    zs, info = prun.run_hmc_sharded(
+        cluster_model, tr, init, jax.random.PRNGKey(9), cfg, mesh
+    )
+    assert zs.shape == (100, 8, 9)
+    assert float(info["accept_prob"]) > 0.3
+    xs = np.asarray(jax.vmap(jax.vmap(tr.forward))(zs))
+    assert abs(xs[:, :, 0].mean() - TRUTH[0]) < 0.1
+    r = np.asarray(diag.split_rhat(jnp.asarray(xs[:, :, :5])))
+    assert np.all(np.isfinite(r))

@@ -1,0 +1,125 @@
+"""Sampler correctness: exact-moment checks on a known Gaussian target
+(SURVEY.md §4.2.3a) and round-trip truth recovery on the toy cluster model
+(§4.2.3c, the simCluster -> scatter -> singlePop workflow of BASELINE
+config 1)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from base_tpu.inference import hmc, mh
+from base_tpu.model import posterior as post
+from base_tpu.model.stardata import make_ms_stars
+from base_tpu.sim.scatter import scatter_cluster
+from base_tpu.sim.simulate import simulate_cluster
+
+TRUTH = np.array([9.3, 0.27, -0.5, 10.0, 0.3, 0.5, 0.0, 0.0, 0.0], np.float32)
+
+# Correlated 2-D Gaussian target with known moments.
+COV = np.array([[1.0, 0.7], [0.7, 2.0]], np.float32)
+MEAN = np.array([1.0, -2.0], np.float32)
+PREC = np.linalg.inv(COV).astype(np.float32)
+
+
+def gauss_logpost(x):
+    d = x - jnp.asarray(MEAN)
+    return -0.5 * d @ jnp.asarray(PREC) @ d
+
+
+def test_mh_gaussian_moments():
+    cfg = mh.MHConfig(n_stage1=500, n_stage2=500, n_main=4000)
+    samples, info = jax.vmap(
+        lambda k: mh.run_adaptive_mh(
+            gauss_logpost, jnp.zeros(2), k, jnp.ones(2) * 0.5, cfg
+        )
+    )(jax.random.split(jax.random.PRNGKey(0), 8))
+    flat = np.asarray(samples).reshape(-1, 2)
+    rate = float(np.mean(np.asarray(info["accept_rate"])))
+    assert 0.1 < rate < 0.7
+    np.testing.assert_allclose(flat.mean(0), MEAN, atol=0.15)
+    np.testing.assert_allclose(np.cov(flat.T), COV, atol=0.4)
+
+
+def test_mh_pinned_params_never_move():
+    step = jnp.asarray([0.5, 0.0], jnp.float32)  # pin dim 1
+    cfg = mh.MHConfig(n_stage1=200, n_stage2=200, n_main=500)
+    samples, _ = mh.run_adaptive_mh(
+        gauss_logpost, jnp.asarray([0.0, 3.5]), jax.random.PRNGKey(3), step, cfg
+    )
+    s = np.asarray(samples)
+    assert np.all(s[:, 1] == 3.5)
+    assert np.std(s[:, 0]) > 0.1
+
+
+def test_hmc_gaussian_moments():
+    cfg = hmc.HMCConfig(n_warmup=400, n_samples=500, l_max=16)
+    init = jax.random.normal(jax.random.PRNGKey(1), (8, 2))
+    samples, info = jax.jit(
+        lambda z, k: hmc.run_hmc(gauss_logpost, z, k, cfg)
+    )(init, jax.random.PRNGKey(2))
+    flat = np.asarray(samples).reshape(-1, 2)
+    assert float(info["accept_prob"]) > 0.5
+    np.testing.assert_allclose(flat.mean(0), MEAN, atol=0.15)
+    np.testing.assert_allclose(np.cov(flat.T), COV, atol=0.4)
+    # Mass adaptation should have learned the scale ordering.
+    im = np.asarray(info["inv_mass"])
+    assert im[1] > im[0]
+
+
+@pytest.fixture(scope="module")
+def cluster_model(small_grid):
+    cat = simulate_cluster(
+        small_grid, jnp.asarray(TRUTH), 48, jax.random.PRNGKey(11),
+        percent_binary=0.0,
+    )
+    sc = scatter_cluster(cat.mags, jax.random.PRNGKey(12), limit_mag=24.0)
+    stars = make_ms_stars(
+        np.asarray(sc.mags), np.asarray(sc.sigmas), cm_prior=0.999,
+    )
+    return post.make_single_pop_model(
+        small_grid, stars,
+        prior_mean=TRUTH,
+        prior_sigma=np.array(
+            [-1, -1, 0.3, 0.2, 0.1, -1, -1, -1, -1], np.float32
+        ),
+        n_q=6, binaries=False,
+    )
+
+
+def test_mh_truth_recovery(cluster_model):
+    """Reference-parity mode: adaptive MH recovers simulation truth
+    (the de-facto validation workflow of the reference, SURVEY.md §4.1)."""
+    f = post.make_logpost_fn(cluster_model)
+    step0 = jnp.asarray(
+        [0.05, 0.02, 0.05, 0.05, 0.03, 0, 0, 0, 0], jnp.float32
+    )
+    cfg = mh.MHConfig(n_stage1=400, n_stage2=400, n_main=1200)
+    samples, info = jax.jit(
+        lambda k: mh.run_adaptive_mh(f, jnp.asarray(TRUTH), k, step0, cfg)
+    )(jax.random.PRNGKey(4))
+    s = np.asarray(samples)
+    assert np.isfinite(np.asarray(info["logposts"])).all()
+    for p, tol in [(0, 0.1), (2, 0.3), (3, 0.3), (4, 0.2)]:
+        est = s[:, p].mean()
+        sd = s[:, p].std() + 1e-4
+        assert abs(est - TRUTH[p]) < max(4 * sd, tol), (p, est, sd)
+    # IFMR params pinned
+    assert np.all(s[:, 6:] == 0.0)
+
+
+def test_hmc_truth_recovery(cluster_model):
+    tr = post.default_transform(cluster_model)
+    fz = post.make_logpost_z_fn(cluster_model, tr)
+    z0 = tr.inverse(jnp.asarray(TRUTH))
+    init = jnp.tile(z0[None, :], (4, 1))
+    init = init + 0.01 * jax.random.normal(jax.random.PRNGKey(5), init.shape)
+    cfg = hmc.HMCConfig(n_warmup=200, n_samples=150, l_max=12)
+    zs, info = jax.jit(
+        lambda z, k: hmc.run_hmc(fz, z, k, cfg)
+    )(init, jax.random.PRNGKey(6))
+    xs = np.asarray(jax.vmap(jax.vmap(tr.forward))(zs)).reshape(-1, 9)
+    assert float(info["accept_prob"]) > 0.4
+    for p, tol in [(0, 0.1), (2, 0.35), (3, 0.35), (4, 0.25)]:
+        est = xs[:, p].mean()
+        sd = xs[:, p].std() + 1e-4
+        assert abs(est - TRUTH[p]) < max(4 * sd, tol), (p, est, sd)
