@@ -167,31 +167,33 @@ def _pooled_mean_var(zs: Array, axis_name: str | None):
     return mean, var
 
 
-def run_hmc(
-    logpost_fn: Callable,
-    init_z: Array,          # [C, P] one row per (local) chain
-    key: Array,
-    cfg: HMCConfig = HMCConfig(),
-    axis_name: str | None = None,
-):
-    """Warmup (windowed, cross-chain mass adaptation) + sampling.
-
-    Fully traceable — wrap in jit yourself, or in shard_map with
-    `axis_name` set to the chain mesh axis.  Returns (samples
-    [n_rec, C, P] in unconstrained space, info dict).
-    """
-    C, P = init_z.shape
+def init_chains(
+    logpost_fn: Callable, init_z: Array, key: Array, cfg: HMCConfig
+) -> HMCChainState:
+    """Initial per-chain state batch (vmapped leaves, leading axis C)."""
+    C, _ = init_z.shape
     vgrad = jax.value_and_grad(logpost_fn)
-
     keys = jax.random.split(key, C)
     lp0, g0 = jax.vmap(vgrad)(init_z)
-    states = HMCChainState(
+    return HMCChainState(
         z=init_z,
         logpost=lp0,
         grad=g0,
         key=keys,
         da=jax.vmap(lambda _: da_init(cfg.init_step))(jnp.arange(C)),
     )
+
+
+def warmup(
+    logpost_fn: Callable,
+    states: HMCChainState,
+    cfg: HMCConfig,
+    axis_name: str | None = None,
+):
+    """Windowed warmup: per-chain dual averaging + pooled cross-chain
+    mass estimation between windows.  Returns (states, inv_mass, eps)."""
+    P = states.z.shape[-1]
+    vgrad = jax.value_and_grad(logpost_fn)
     inv_mass = jnp.ones((P,))
 
     def warmup_segment(states, inv_mass, n_iters):
@@ -221,23 +223,55 @@ def run_hmc(
     le = jnp.mean(states.da.log_eps_avg)
     if axis_name is not None:
         le = jax.lax.pmean(le, axis_name)
-    eps_final = jnp.exp(le)
+    return states, inv_mass, jnp.exp(le)
 
-    def sample_phase(states):
-        def one_chain(st):
-            def body(st, _):
-                def inner(s, _):
-                    s2, ap = hmc_transition(vgrad, s, eps_final, inv_mass, cfg)
-                    return s2, ap
 
-                st, aps = jax.lax.scan(inner, st, None, length=cfg.thin)
-                return st, (st.z, st.logpost, jnp.mean(aps))
+def sample_chunk(
+    logpost_fn: Callable,
+    states: HMCChainState,
+    inv_mass: Array,
+    eps: Array,
+    n_record: int,
+    cfg: HMCConfig,
+):
+    """Record `n_record` thinned samples from every chain.
+    Returns (states, zs [C, n, P], lps [C, n], accept [C, n])."""
+    vgrad = jax.value_and_grad(logpost_fn)
 
-            return jax.lax.scan(body, st, None, length=cfg.n_samples // cfg.thin)
+    def one_chain(st):
+        def body(st, _):
+            def inner(s, _):
+                s2, ap = hmc_transition(vgrad, s, eps, inv_mass, cfg)
+                return s2, ap
 
-        return jax.vmap(one_chain)(states)
+            st, aps = jax.lax.scan(inner, st, None, length=cfg.thin)
+            return st, (st.z, st.logpost, jnp.mean(aps))
 
-    states, (zs, lps, aps) = sample_phase(states)
+        return jax.lax.scan(body, st, None, length=n_record)
+
+    states, (zs, lps, aps) = jax.vmap(one_chain)(states)
+    return states, zs, lps, aps
+
+
+def run_hmc(
+    logpost_fn: Callable,
+    init_z: Array,          # [C, P] one row per (local) chain
+    key: Array,
+    cfg: HMCConfig = HMCConfig(),
+    axis_name: str | None = None,
+):
+    """Warmup (windowed, cross-chain mass adaptation) + sampling.
+
+    Fully traceable — wrap in jit yourself, or in shard_map with
+    `axis_name` set to the chain mesh axis.  Returns (samples
+    [n_rec, C, P] in unconstrained space, info dict).
+    """
+    states = init_chains(logpost_fn, init_z, key, cfg)
+    states, inv_mass, eps_final = warmup(logpost_fn, states, cfg, axis_name)
+    states, zs, lps, aps = sample_chunk(
+        logpost_fn, states, inv_mass, eps_final,
+        cfg.n_samples // cfg.thin, cfg,
+    )
     samples = jnp.swapaxes(zs, 0, 1)  # [n_rec, C, P]
     info = dict(
         accept_prob=jnp.mean(aps),

@@ -29,15 +29,26 @@ from base_tpu.utils.transforms import IntervalTransform, make_interval_transform
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SinglePopModel:
-    """Everything static for one single-population inference run."""
+    """Everything static for one single-population inference run.
+
+    The WD branch is optional: `wd_stars is None` (a static pytree
+    structure difference) compiles the MS-only density; with WD fields
+    set, log_post adds the precursor-mass-marginalized WD likelihood
+    [SURVEY.md C6-C8, BASELINE.json:9]."""
 
     grid: IsochroneGrid
     stars: MSStars
     priors: ClusterPriors
     q_grid: Array      # [Q] mass-ratio quadrature nodes
     abs_coefs: Array   # [B] A_band / A_V
+    wd_cooling: object = None    # WdCoolingGrid | None
+    wd_atm: object = None        # WdAtmosphereGrid | None
+    wd_stars: object = None      # WDStars (MSStars layout) | None
+    mz_grid: object = None       # [K] precursor-mass nodes | None
     binaries: bool = dataclasses.field(metadata=dict(static=True), default=True)
     uniform_q: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    ifmr_kind: str = dataclasses.field(metadata=dict(static=True), default="linear")
+    p_db: float = dataclasses.field(metadata=dict(static=True), default=0.1)
 
 
 def make_single_pop_model(
@@ -48,7 +59,20 @@ def make_single_pop_model(
     n_q: int = 16,
     binaries: bool = True,
     uniform_q: bool = False,
+    wd_cooling=None,
+    wd_atm=None,
+    wd_stars=None,
+    n_mz: int = 96,
+    ifmr_kind: str = "linear",
+    p_db: float = 0.1,
 ) -> SinglePopModel:
+    mz_grid = None
+    if wd_stars is not None:
+        if wd_cooling is None or wd_atm is None:
+            raise ValueError("wd_stars requires wd_cooling and wd_atm grids")
+        mz_grid = jnp.linspace(
+            0.8, C.MAX_WD_PRECURSOR_MASS, n_mz, dtype=jnp.float32
+        )
     return SinglePopModel(
         grid=grid,
         stars=stars,
@@ -58,8 +82,14 @@ def make_single_pop_model(
         ),
         q_grid=jnp.linspace(0.0, 1.0, n_q, dtype=jnp.float32),
         abs_coefs=jnp.asarray(filt.absorption_coefs(grid.bands)),
+        wd_cooling=wd_cooling,
+        wd_atm=wd_atm,
+        wd_stars=wd_stars,
+        mz_grid=mz_grid,
         binaries=binaries,
         uniform_q=uniform_q,
+        ifmr_kind=ifmr_kind,
+        p_db=p_db,
     )
 
 
@@ -87,6 +117,17 @@ def log_post(model: SinglePopModel, params: Array) -> Array:
         uniform_q=model.uniform_q,
     )
     ll = lk.ms_total_loglik(model.stars, table)
+    if model.wd_stars is not None:
+        from base_tpu.model import wd as wd_mod
+
+        mags, _, valid = wd_mod.wd_model_mags(
+            model.grid, model.wd_cooling, model.wd_atm, params,
+            model.mz_grid, model.ifmr_kind,
+        )
+        ll = ll + wd_mod.wd_total_loglik(
+            model.wd_stars, mags, valid, model.mz_grid, mod, av,
+            model.abs_coefs, model.p_db,
+        )
     lp = model.priors.log_prior(params)
     out = ll + lp
     return jnp.where(iso.in_bounds, out, NEG_INF)

@@ -1,0 +1,322 @@
+"""CLI entry points mirroring the reference executables.
+
+One `python -m base_tpu.tools.main <tool>` per reference binary
+[upstream: singlePopMcmc/, simCluster/, scatterCluster/, sampleMass/,
+sampleWDMass/, makeCMD/ — SURVEY.md E1-E7]:
+
+  simulate        simCluster: forward-model a cluster, write photometry
+  scatter         scatterCluster: add noise/cutoffs, write sampler .phot
+  single-pop      singlePopMcmc: posterior over cluster params (HMC or
+                  reference-parity adaptive MH), write .res
+  sample-mass     sampleMass: per-star (mass, ratio) conditionals
+  sample-wd-mass  sampleWDMass: per-WD precursor/WD-mass conditionals
+  make-cmd        makeCMD: model isochrone CMD at given params
+
+Every tool shares one YAML config (+ `--set a.b=c` overrides), like the
+reference's single base9.yaml [SURVEY.md C12].
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from base_tpu import constants as C
+from base_tpu.io import phot as photio
+from base_tpu.io import res as resio
+from base_tpu.io.settings import Settings, load_settings
+
+
+def _common(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--config", default=None, help="YAML settings file")
+    parser.add_argument(
+        "--set", action="append", default=[], metavar="a.b=c",
+        help="dotted settings override (repeatable)",
+    )
+    parser.add_argument("--photFile", default=None)
+    parser.add_argument("--outputFileBase", default=None)
+    parser.add_argument("--modelDirectory", default=None)
+    parser.add_argument("--seed", type=int, default=None)
+
+
+def _settings(args) -> Settings:
+    s = load_settings(args.config, args.set)
+    if args.photFile is not None:
+        s.files.photFile = args.photFile
+    if args.outputFileBase is not None:
+        s.files.outputFileBase = args.outputFileBase
+    if args.modelDirectory is not None:
+        s.files.modelDirectory = args.modelDirectory
+    if args.seed is not None:
+        s.mcmc.seed = args.seed
+    return s
+
+
+def _truth_params(s: Settings) -> np.ndarray:
+    return s.cluster.start_vector()
+
+
+def cmd_simulate(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from base_tpu.grids.load import make_model
+    from base_tpu.sim.simulate import simulate_cluster
+
+    s = _settings(args)
+    bundle = make_model(s)
+    params = _truth_params(s)
+    cat = simulate_cluster(
+        bundle.ms, jnp.asarray(params), s.simCluster.nStars,
+        jax.random.PRNGKey(s.mcmc.seed),
+        percent_binary=s.simCluster.percentBinary,
+        min_mass=s.simCluster.minMass,
+        wd_cooling=bundle.wd_cooling, wd_atm=bundle.wd_atm,
+        ifmr_kind=bundle.ifmr_kind,
+        percent_db=s.simCluster.percentDB,
+    )
+    table = photio.from_simulation(
+        ids=None, bands=bundle.ms.bands,
+        mags=np.asarray(cat.mags),
+        sigmas=np.zeros_like(np.asarray(cat.mags)),
+        mass1=np.asarray(cat.mass1),
+        mass_ratio=np.asarray(cat.mass_ratio),
+        stage=np.asarray(cat.stage),
+    )
+    out = s.files.outputFileBase + ".sim.phot"
+    photio.write_phot(out, table)
+    n_wd = int((np.asarray(cat.stage) == C.StarStatus.WD).sum())
+    print(f"simulate: wrote {table.n_stars} stars ({n_wd} WDs) -> {out}")
+
+
+def cmd_scatter(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from base_tpu.sim.scatter import scatter_cluster
+
+    s = _settings(args)
+    table = photio.read_phot(s.files.photFile)
+    sc = scatter_cluster(
+        jnp.asarray(table.mags), jax.random.PRNGKey(s.mcmc.seed + 1),
+        limit_mag=s.scatterCluster.limitMag,
+        bright_limit=s.scatterCluster.brightLimit,
+        faint_limit=s.scatterCluster.faintLimit,
+        sigma_floor=s.scatterCluster.sigmaFloor,
+    )
+    table.mags = np.asarray(sc.mags)
+    table.sigmas = np.asarray(sc.sigmas)
+    out = s.files.outputFileBase + ".phot"
+    photio.write_phot(out, table)
+    print(f"scatter: wrote {table.n_stars} stars -> {out}")
+
+
+def _build_model_from_phot(s: Settings, table: photio.PhotTable):
+    from base_tpu.grids.load import make_model
+    from base_tpu.model import posterior as post
+    from base_tpu.model.stardata import make_ms_stars
+
+    bundle = make_model(s)
+    stage = table.stage
+    is_wd = stage == C.StarStatus.WD
+    usable = (stage == C.StarStatus.MSRG) | is_wd
+    ms_rows = table.select(usable & ~is_wd)
+    wd_rows = table.select(is_wd)
+    ms = make_ms_stars(ms_rows.mags, ms_rows.sigmas, cm_prior=ms_rows.cm_prior)
+    wds = None
+    if wd_rows.n_stars > 0:
+        wds = make_ms_stars(
+            wd_rows.mags, wd_rows.sigmas, cm_prior=wd_rows.cm_prior
+        )
+    model = post.make_single_pop_model(
+        bundle.ms, ms,
+        prior_mean=s.cluster.prior_mean_vector(),
+        prior_sigma=s.cluster.prior_sigma_vector(),
+        n_q=s.mcmc.nMassRatio,
+        binaries=not s.mcmc.noBinaries,
+        wd_cooling=None if wds is None else bundle.wd_cooling,
+        wd_atm=None if wds is None else bundle.wd_atm,
+        wd_stars=wds,
+        ifmr_kind=bundle.ifmr_kind,
+        p_db=s.simCluster.percentDB,
+    )
+    return model
+
+
+def cmd_single_pop(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from base_tpu.inference import diagnostics as diag
+    from base_tpu.inference.hmc import HMCConfig, run_hmc
+    from base_tpu.inference.mh import MHConfig, run_adaptive_mh
+    from base_tpu.model import posterior as post
+
+    s = _settings(args)
+    table = photio.read_phot(s.files.photFile)
+    model = _build_model_from_phot(s, table)
+    key = jax.random.PRNGKey(s.mcmc.seed)
+    start = s.cluster.start_vector()
+    n_chains = s.mcmc.chains
+
+    if s.mcmc.sampler == "hmc":
+        tr = post.default_transform(model)
+        fz = post.make_logpost_z_fn(model, tr)
+        z0 = tr.inverse(jnp.asarray(start))
+        init = jnp.tile(z0[None, :], (n_chains, 1))
+        init = init + 0.02 * jax.random.normal(key, init.shape)
+        cfg = HMCConfig(
+            n_warmup=s.mcmc.warmup, n_samples=s.mcmc.runIter // n_chains,
+            thin=s.mcmc.thin, l_max=s.mcmc.lMax,
+            target_accept=s.mcmc.targetAccept,
+        )
+        zs, info = jax.jit(lambda z, k: run_hmc(fz, z, k, cfg))(
+            init, jax.random.fold_in(key, 1)
+        )
+        xs = jax.vmap(jax.vmap(tr.forward))(zs)          # [N, C, 9]
+        lps = info["logposts"]
+        accept = float(info["accept_prob"])
+    else:
+        f = post.make_logpost_fn(model)
+        step0 = np.array(
+            [0.05, 0.02, 0.05, 0.05, 0.03, 0.0, 0.0, 0.0, 0.0], np.float32
+        )
+        if model.ifmr_kind in ("linear", "quadratic") and model.wd_stars is not None:
+            step0[6:8] = 0.02
+        cfg = MHConfig(
+            n_stage1=s.mcmc.stage1Iter, n_stage2=s.mcmc.stage2IterMax,
+            n_main=s.mcmc.runIter // n_chains, thin=s.mcmc.thin,
+        )
+        keys = jax.random.split(key, n_chains)
+        init = jnp.tile(jnp.asarray(start)[None, :], (n_chains, 1))
+        samples, info = jax.jit(jax.vmap(
+            lambda p, k: run_adaptive_mh(f, p, k, jnp.asarray(step0), cfg)
+        ))(init, keys)
+        xs = jnp.swapaxes(samples, 0, 1)                 # [N, C, 9]
+        lps = jnp.swapaxes(info["logposts"], 0, 1)       # [N, C]
+        accept = float(np.mean(np.asarray(info["accept_rate"])))
+
+    out = s.files.outputFileBase + ".res"
+    resio.write_res(out, np.asarray(xs), np.asarray(lps).reshape(xs.shape[0], -1))
+    summ = diag.summarize(jnp.asarray(xs), C.PARAM_NAMES)
+    print(f"single-pop ({s.mcmc.sampler}): {xs.shape[0]}x{xs.shape[1]} samples -> {out}")
+    print(f"  accept={accept:.3f}")
+    for i, name in enumerate(C.PARAM_NAMES[:6]):
+        print(
+            f"  {name:12s} mean={summ['mean'][i]: .4f} sd={summ['sd'][i]:.4f}"
+            f" rhat={summ['rhat'][i]:.3f} ess={summ['ess'][i]:.0f}"
+        )
+
+
+def cmd_sample_mass(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from base_tpu.model import conditionals as cond
+
+    s = _settings(args)
+    table = photio.read_phot(s.files.photFile)
+    model = _build_model_from_phot(s, table)
+    chain = resio.read_res(s.files.outputFileBase + ".res")
+    thin = max(len(chain.params) // 200, 1)
+    draws = jnp.asarray(chain.params[::thin])
+    out = cond.sample_ms_masses(
+        model, draws, jax.random.PRNGKey(s.mcmc.seed + 2)
+    )
+    path = s.files.outputFileBase + ".massSamples"
+    np.savetxt(
+        path,
+        np.concatenate(
+            [np.asarray(out.mass1), np.asarray(out.mass_ratio)], axis=1
+        ),
+        header="mass1 x S then massRatio x S, one row per posterior draw",
+    )
+    print(f"sample-mass: {draws.shape[0]} draws x {out.mass1.shape[1]} stars -> {path}")
+
+
+def cmd_sample_wd_mass(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from base_tpu.model import conditionals as cond
+
+    s = _settings(args)
+    table = photio.read_phot(s.files.photFile)
+    model = _build_model_from_phot(s, table)
+    if model.wd_stars is None:
+        print("sample-wd-mass: no WD stars in photometry", file=sys.stderr)
+        sys.exit(1)
+    chain = resio.read_res(s.files.outputFileBase + ".res")
+    thin = max(len(chain.params) // 200, 1)
+    draws = jnp.asarray(chain.params[::thin])
+    out = cond.sample_wd_masses(
+        model, draws, jax.random.PRNGKey(s.mcmc.seed + 3)
+    )
+    path = s.files.outputFileBase + ".wdMassSamples"
+    np.savetxt(
+        path,
+        np.concatenate(
+            [
+                np.asarray(out.zams_mass),
+                np.asarray(out.wd_mass),
+                np.asarray(out.log_cool_age),
+            ],
+            axis=1,
+        ),
+        header="zamsMass x S, wdMass x S, logCoolAge x S per draw",
+    )
+    print(
+        f"sample-wd-mass: {draws.shape[0]} draws x {out.zams_mass.shape[1]} WDs -> {path}"
+    )
+
+
+def cmd_make_cmd(args) -> None:
+    import jax.numpy as jnp
+
+    from base_tpu.grids.load import make_model
+    from base_tpu.grids.isochrone import derive_isochrone
+
+    s = _settings(args)
+    bundle = make_model(s)
+    p = _truth_params(s)
+    iso = derive_isochrone(
+        bundle.ms, p[C.Param.FEH], p[C.Param.YYY], p[C.Param.AGE]
+    )
+    from base_tpu.grids import filters as filt
+
+    dist = p[C.Param.MOD] + p[C.Param.ABS] * filt.absorption_coefs(
+        bundle.ms.bands
+    )
+    app = np.asarray(iso.mags) + dist[None, :]
+    valid = np.asarray(iso.valid) > 0.5
+    out = s.files.outputFileBase + ".cmd"
+    with open(out, "w") as f:
+        f.write("mass " + " ".join(bundle.ms.bands) + "\n")
+        for m, row in zip(np.asarray(iso.mass)[valid], app[valid]):
+            f.write(f"{m:.6f} " + " ".join(f"{v:.4f}" for v in row) + "\n")
+    print(f"make-cmd: {valid.sum()} EEPs -> {out}")
+
+
+TOOLS = {
+    "simulate": cmd_simulate,
+    "scatter": cmd_scatter,
+    "single-pop": cmd_single_pop,
+    "sample-mass": cmd_sample_mass,
+    "sample-wd-mass": cmd_sample_wd_mass,
+    "make-cmd": cmd_make_cmd,
+}
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(prog="base-tpu")
+    sub = parser.add_subparsers(dest="tool", required=True)
+    for name in TOOLS:
+        p = sub.add_parser(name)
+        _common(p)
+    args = parser.parse_args(argv)
+    TOOLS[args.tool](args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+"""End-to-end CLI workflow test: the reference's de-facto validation
+pipeline simCluster -> scatterCluster -> singlePopMcmc -> sampleMass /
+sampleWDMass -> makeCMD (SURVEY.md §4.1, §3.3), driven through the same
+tool surface, plus IO round-trips."""
+import os
+
+import numpy as np
+import pytest
+
+from base_tpu.io import phot as photio
+from base_tpu.io import res as resio
+from base_tpu.io.settings import load_settings
+from base_tpu.tools.main import main
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return tmp_path_factory.mktemp("cli")
+
+
+def _args(workdir, extra):
+    return extra + [
+        "--outputFileBase", str(workdir / "run"),
+        "--seed", "5",
+    ]
+
+
+def test_settings_roundtrip(workdir):
+    cfg = workdir / "base9.yaml"
+    cfg.write_text(
+        "cluster:\n  starting_logAge: 9.45\n  prior_Fe_H_sigma: 0.25\n"
+        "simCluster:\n  nStars: 60\n  percentBinary: 0.2\n"
+        "mcmc:\n  chains: 4\n"
+    )
+    s = load_settings(str(cfg), ["mcmc.runIter=400", "mcmc.sampler=mh"])
+    assert s.cluster.starting_logAge == 9.45
+    assert s.simCluster.nStars == 60
+    assert s.mcmc.runIter == 400 and s.mcmc.sampler == "mh"
+    with pytest.raises(KeyError):
+        load_settings(None, ["mcmc.doesNotExist=1"])
+
+
+def test_full_workflow(workdir):
+    cfg = workdir / "base9.yaml"
+    cfg.write_text(
+        "cluster:\n"
+        "  starting_logAge: 9.5\n  starting_Fe_H: -0.3\n"
+        "  starting_distMod: 8.0\n  starting_Av: 0.15\n"
+        "  prior_Fe_H: -0.3\n  prior_distMod: 8.0\n  prior_Av: 0.15\n"
+        "simCluster:\n  nStars: 60\n  percentBinary: 0.0\n  percentDB: 0.1\n"
+        "scatterCluster:\n  limitMag: 26.0\n"
+        "mcmc:\n  chains: 4\n  runIter: 800\n  stage1Iter: 200\n"
+        "  stage2IterMax: 200\n  sampler: mh\n  noBinaries: true\n"
+    )
+    base = ["--config", str(cfg)]
+
+    # simulate
+    main(_args(workdir, ["simulate"] + base))
+    sim_file = str(workdir / "run.sim.phot")
+    assert os.path.exists(sim_file)
+    table = photio.read_phot(sim_file)
+    assert table.n_stars == 60
+    assert set(np.unique(table.stage)) <= {1, 3}
+
+    # scatter
+    main(_args(workdir, ["scatter"] + base + ["--photFile", sim_file]))
+    phot_file = str(workdir / "run.phot")
+    t2 = photio.read_phot(phot_file)
+    assert t2.n_stars == 60
+    assert (t2.sigmas[t2.sigmas > 0] > 0.005).all()
+    # noise actually applied
+    assert np.abs(t2.mags - table.mags).max() > 0
+
+    # single-pop MH
+    main(_args(workdir, ["single-pop"] + base + ["--photFile", phot_file]))
+    chain = resio.read_res(str(workdir / "run.res"))
+    assert chain.params.shape[0] == 800  # 200 per chain x 4 chains
+    assert np.isfinite(chain.logpost).all()
+    age = chain.params[:, 0]
+    assert abs(age.mean() - 9.5) < 0.15
+
+    # sample-mass
+    main(_args(workdir, ["sample-mass"] + base + ["--photFile", phot_file]))
+    assert os.path.exists(str(workdir / "run.massSamples"))
+
+    # sample-wd-mass (only if the sim produced WDs)
+    if (table.stage == 3).any():
+        main(_args(workdir, ["sample-wd-mass"] + base + ["--photFile", phot_file]))
+        assert os.path.exists(str(workdir / "run.wdMassSamples"))
+
+    # make-cmd
+    main(_args(workdir, ["make-cmd"] + base))
+    cmd = np.loadtxt(str(workdir / "run.cmd"), skiprows=1)
+    assert cmd.shape[1] == 9  # mass + 8 bands
+    assert (np.diff(cmd[:, 0]) > 0).all()
+
+
+def test_phot_roundtrip(workdir, rng):
+    t = photio.from_simulation(
+        ids=None, bands=("U", "B", "V"),
+        mags=rng.normal(15, 2, (7, 3)),
+        sigmas=np.abs(rng.normal(0.02, 0.01, (7, 3))),
+        cm_prior=0.9,
+    )
+    t.sigmas[2, 1] = -9.0
+    p = str(workdir / "round.phot")
+    photio.write_phot(p, t)
+    t2 = photio.read_phot(p)
+    np.testing.assert_allclose(t2.mags, t.mags, atol=1e-5)
+    np.testing.assert_allclose(t2.sigmas, t.sigmas, atol=1e-5)
+    assert t2.bands == ("U", "B", "V")
+    assert (t2.stage == t.stage).all()
+
+
+def test_res_roundtrip(workdir, rng):
+    samples = rng.normal(size=(50, 3, 9)).astype(np.float32)
+    lp = rng.normal(size=(50, 3)).astype(np.float32)
+    p = str(workdir / "round.res")
+    resio.write_res(p, samples, lp)
+    t = resio.read_res(p)
+    assert t.params.shape == (150, 9)
+    np.testing.assert_allclose(
+        t.params.reshape(50, 3, 9), samples, atol=1e-5
+    )
+    assert t.chain is not None and set(t.chain) == {0, 1, 2}

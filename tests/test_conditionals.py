@@ -1,0 +1,92 @@
+"""sampleMass/sampleWDMass-equivalent tests: exact per-star conditional
+draws recover the simulation's true masses (SURVEY.md E5/E6, §3.4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from base_tpu import constants as C
+from base_tpu.grids.wd_atmosphere import synthetic_bergeron
+from base_tpu.grids.wd_cooling import synthetic_wd_cooling
+from base_tpu.model import conditionals as cond
+from base_tpu.model import posterior as post
+from base_tpu.model.stardata import make_ms_stars
+from base_tpu.sim.scatter import scatter_cluster
+from base_tpu.sim.simulate import simulate_cluster
+
+TRUTH = np.array(
+    [9.5, 0.27, -0.3, 8.0, 0.15, 0.5, 0.721, 0.109, 0.0], np.float32
+)
+
+
+@pytest.fixture(scope="module")
+def sim_and_model(small_grid):
+    cooling = synthetic_wd_cooling()
+    atm = synthetic_bergeron()
+    cat = simulate_cluster(
+        small_grid, jnp.asarray(TRUTH), 120, jax.random.PRNGKey(41),
+        percent_binary=0.3, wd_cooling=cooling, wd_atm=atm,
+        ifmr_kind="linear", percent_db=0.15,
+    )
+    sc = scatter_cluster(cat.mags, jax.random.PRNGKey(42), limit_mag=26.0)
+    stage = np.asarray(cat.stage)
+    is_wd = stage == C.StarStatus.WD
+    mags = np.asarray(sc.mags)
+    sig = np.asarray(sc.sigmas)
+    ms = make_ms_stars(mags[~is_wd], sig[~is_wd], cm_prior=0.999)
+    wds = make_ms_stars(mags[is_wd], sig[is_wd], cm_prior=0.999)
+    model = post.make_single_pop_model(
+        small_grid, ms,
+        prior_mean=TRUTH,
+        prior_sigma=np.array([-1, -1, 0.3, 0.2, 0.1, -1, -1, -1, -1],
+                             np.float32),
+        n_q=16, binaries=True,
+        wd_cooling=cooling, wd_atm=atm, wd_stars=wds,
+        ifmr_kind="linear", p_db=0.15,
+    )
+    return model, cat, is_wd
+
+
+def test_ms_mass_recovery(sim_and_model):
+    model, cat, is_wd = sim_and_model
+    true_m1 = np.asarray(cat.mass1)[~is_wd]
+    draws = jnp.tile(jnp.asarray(TRUTH)[None, :], (32, 1))
+    out = jax.jit(
+        lambda d, k: cond.sample_ms_masses(model, d, k)
+    )(draws, jax.random.PRNGKey(43))
+    m1 = np.asarray(out.mass1)  # [32, S]
+    assert np.isfinite(m1).all()
+    est = m1.mean(0)
+    sd = m1.std(0) + 0.02
+    frac_ok = np.mean(np.abs(est - true_m1) < 4 * sd + 0.05)
+    assert frac_ok > 0.85, frac_ok
+
+
+def test_ms_mass_draws_within_isochrone(sim_and_model):
+    model, _, _ = sim_and_model
+    draws = jnp.tile(jnp.asarray(TRUTH)[None, :], (4, 1))
+    out = cond.sample_ms_masses(model, draws, jax.random.PRNGKey(44))
+    m1 = np.asarray(out.mass1)
+    q = np.asarray(out.mass_ratio)
+    assert (m1 > 0.1).all() and (m1 < 4.0).all()
+    assert (q >= 0).all() and (q <= 1).all()
+
+
+def test_wd_mass_recovery(sim_and_model):
+    model, cat, is_wd = sim_and_model
+    true_zams = np.asarray(cat.mass1)[is_wd]
+    draws = jnp.tile(jnp.asarray(TRUTH)[None, :], (32, 1))
+    out = jax.jit(
+        lambda d, k: cond.sample_wd_masses(model, d, k)
+    )(draws, jax.random.PRNGKey(45))
+    zams = np.asarray(out.zams_mass)  # [32, S]
+    assert np.isfinite(zams).all()
+    est = zams.mean(0)
+    sd = zams.std(0) + 0.05
+    frac_ok = np.mean(np.abs(est - true_zams) < 4 * sd + 0.3)
+    assert frac_ok > 0.7, (frac_ok, est, true_zams)
+    # Derived WD masses must be physical.
+    wdm = np.asarray(out.wd_mass)
+    assert (wdm > 0.2).all() and (wdm < 1.5).all()
+    # Cooling ages below cluster age.
+    assert (np.asarray(out.log_cool_age) < TRUTH[0]).all()
