@@ -116,6 +116,7 @@ class McmcSettings:
     # quadrature
     nMassRatio: int = 16
     noBinaries: bool = False
+    usePallas: bool = False   # fused marginal-likelihood kernel
 
 
 @dataclasses.dataclass

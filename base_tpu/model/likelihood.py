@@ -195,19 +195,39 @@ def ms_star_log_marginals(stars: MSStars, table: SegmentTable) -> Array:
     return masked_logsumexp(ll + table.logw[None, :], table.mask[None, :], axis=-1)
 
 
-def ms_total_loglik(stars: MSStars, table: SegmentTable) -> Array:
-    """Sum over stars of the field-mixture log posterior density.
+def field_mixture_total(stars: MSStars, log_clust: Array) -> Array:
+    """Field-star mixture + sum over stars, given per-star cluster
+    marginals.
 
     density_s = CMprior_s * L_cluster_s + (1 - CMprior_s) * L_field_s
     [upstream: field-star mixture in base9/densities.cpp — SURVEY.md C9].
     """
-    log_clust = ms_star_log_marginals(stars, table)  # [S]
     a = stars.log_cm + log_clust
     b = stars.log_1m_cm + stars.field_logdens
     m = jnp.maximum(a, b)
     per_star = m + jnp.log(jnp.exp(a - m) + jnp.exp(b - m))
     per_star = jnp.maximum(per_star, NEG_INF)
     return jnp.sum(per_star * stars.star_mask)
+
+
+def ms_total_loglik(
+    stars: MSStars, table: SegmentTable, use_pallas: bool = False
+) -> Array:
+    """Total MS-star log likelihood; `use_pallas` routes the marginal
+    through the fused on-chip kernel (ops.pallas_marglik), parity-tested
+    against this jnp path."""
+    if use_pallas:
+        from base_tpu.ops.pallas_marglik import fused_log_marginals
+
+        log_clust = fused_log_marginals(
+            stars.obs_mags, stars.inv_var, stars.log_norm,
+            table.lo, table.hi, table.logw,
+            table.mask.astype(jnp.float32),
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        log_clust = ms_star_log_marginals(stars, table)
+    return field_mixture_total(stars, log_clust)
 
 
 # --- Nodal (pointwise) likelihood helpers -----------------------------------

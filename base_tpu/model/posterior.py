@@ -49,6 +49,7 @@ class SinglePopModel:
     uniform_q: bool = dataclasses.field(metadata=dict(static=True), default=False)
     ifmr_kind: str = dataclasses.field(metadata=dict(static=True), default="linear")
     p_db: float = dataclasses.field(metadata=dict(static=True), default=0.1)
+    use_pallas: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
 
 def make_single_pop_model(
@@ -65,6 +66,7 @@ def make_single_pop_model(
     n_mz: int = 96,
     ifmr_kind: str = "linear",
     p_db: float = 0.1,
+    use_pallas: bool = False,
 ) -> SinglePopModel:
     mz_grid = None
     if wd_stars is not None:
@@ -90,6 +92,7 @@ def make_single_pop_model(
         uniform_q=uniform_q,
         ifmr_kind=ifmr_kind,
         p_db=p_db,
+        use_pallas=use_pallas,
     )
 
 
@@ -116,7 +119,7 @@ def log_post(model: SinglePopModel, params: Array) -> Array:
         binaries=model.binaries,
         uniform_q=model.uniform_q,
     )
-    ll = lk.ms_total_loglik(model.stars, table)
+    ll = lk.ms_total_loglik(model.stars, table, model.use_pallas)
     if model.wd_stars is not None:
         from base_tpu.model import wd as wd_mod
 

@@ -41,6 +41,20 @@ def sample_imf_masses(key, n: int, lo: float, hi: float) -> Array:
     return 10.0 ** (C.IMF_LOG_MEAN + C.IMF_LOG_SIGMA * z)
 
 
+def simulate_field_stars(
+    key, n: int, ref_mags: Array, spread: float = 3.0
+) -> Array:
+    """Field-star photometry: uniform draws in a CMD box spanning the
+    cluster's magnitude range (+/- spread) per band, mirroring the
+    reference's uniform field-CMD density assumption [upstream:
+    simCluster field stars + base9/densities field component —
+    SURVEY.md E3/C9].  Returns [n, B] apparent magnitudes."""
+    lo = jnp.min(ref_mags, axis=0) - spread
+    hi = jnp.max(ref_mags, axis=0) + spread
+    u = jax.random.uniform(key, (n, ref_mags.shape[1]))
+    return lo[None, :] + u * (hi - lo)[None, :]
+
+
 def simulate_cluster(
     grid: IsochroneGrid,
     params: Array,

@@ -76,18 +76,41 @@ def cmd_simulate(args) -> None:
         ifmr_kind=bundle.ifmr_kind,
         percent_db=s.simCluster.percentDB,
     )
+    mags = np.asarray(cat.mags)
+    mass1 = np.asarray(cat.mass1)
+    mratio = np.asarray(cat.mass_ratio)
+    stage = np.asarray(cat.stage)
+    cm = np.full(mags.shape[0], 0.999, np.float32)
+    n_field = s.simCluster.nFieldStars
+    if n_field > 0:
+        from base_tpu.sim.simulate import simulate_field_stars
+
+        fmags = np.asarray(simulate_field_stars(
+            jax.random.PRNGKey(s.mcmc.seed + 7), n_field, cat.mags
+        ))
+        mags = np.concatenate([mags, fmags])
+        mass1 = np.concatenate([mass1, np.ones(n_field, np.float32)])
+        mratio = np.concatenate([mratio, np.zeros(n_field, np.float32)])
+        stage = np.concatenate(
+            [stage, np.full(n_field, C.StarStatus.MSRG, np.int32)]
+        )
+        cm = np.concatenate([cm, np.full(n_field, 0.01, np.float32)])
     table = photio.from_simulation(
         ids=None, bands=bundle.ms.bands,
-        mags=np.asarray(cat.mags),
-        sigmas=np.zeros_like(np.asarray(cat.mags)),
-        mass1=np.asarray(cat.mass1),
-        mass_ratio=np.asarray(cat.mass_ratio),
-        stage=np.asarray(cat.stage),
+        mags=mags,
+        sigmas=np.zeros_like(mags),
+        mass1=mass1,
+        mass_ratio=mratio,
+        stage=stage,
+        cm_prior=cm,
     )
     out = s.files.outputFileBase + ".sim.phot"
     photio.write_phot(out, table)
-    n_wd = int((np.asarray(cat.stage) == C.StarStatus.WD).sum())
-    print(f"simulate: wrote {table.n_stars} stars ({n_wd} WDs) -> {out}")
+    n_wd = int((stage == C.StarStatus.WD).sum())
+    print(
+        f"simulate: wrote {table.n_stars} stars ({n_wd} WDs, "
+        f"{n_field} field) -> {out}"
+    )
 
 
 def cmd_scatter(args) -> None:
@@ -140,6 +163,7 @@ def _build_model_from_phot(s: Settings, table: photio.PhotTable):
         wd_stars=wds,
         ifmr_kind=bundle.ifmr_kind,
         p_db=s.simCluster.percentDB,
+        use_pallas=s.mcmc.usePallas,
     )
     return model
 
@@ -160,23 +184,84 @@ def cmd_single_pop(args) -> None:
     start = s.cluster.start_vector()
     n_chains = s.mcmc.chains
 
-    if s.mcmc.sampler == "hmc":
+    if s.mcmc.sampler in ("hmc", "nuts", "smc", "vi"):
         tr = post.default_transform(model)
         fz = post.make_logpost_z_fn(model, tr)
         z0 = tr.inverse(jnp.asarray(start))
         init = jnp.tile(z0[None, :], (n_chains, 1))
         init = init + 0.02 * jax.random.normal(key, init.shape)
-        cfg = HMCConfig(
-            n_warmup=s.mcmc.warmup, n_samples=s.mcmc.runIter // n_chains,
-            thin=s.mcmc.thin, l_max=s.mcmc.lMax,
-            target_accept=s.mcmc.targetAccept,
-        )
-        zs, info = jax.jit(lambda z, k: run_hmc(fz, z, k, cfg))(
-            init, jax.random.fold_in(key, 1)
-        )
+        if s.mcmc.sampler == "nuts":
+            from base_tpu.inference.nuts import NUTSConfig, run_nuts
+
+            ncfg = NUTSConfig(
+                n_warmup=s.mcmc.warmup,
+                n_samples=s.mcmc.runIter // n_chains,
+                thin=s.mcmc.thin, target_accept=s.mcmc.targetAccept,
+            )
+            zs, info = jax.jit(lambda z, k: run_nuts(fz, z, k, ncfg))(
+                init, jax.random.fold_in(key, 1)
+            )
+            accept = float(info["accept_prob"])
+            lps = info["logposts"]
+        elif s.mcmc.sampler == "smc":
+            from base_tpu.inference.smc import SMCConfig, run_smc
+
+            n_part = max(s.mcmc.runIter, 256)
+            sd0 = 0.5
+
+            def log_q0(z):
+                return jnp.sum(
+                    -0.5 * ((z - z0) / sd0) ** 2
+                    - jnp.log(sd0) - 0.9189385
+                )
+
+            def sample_q0(k, n):
+                return z0[None, :] + sd0 * jax.random.normal(
+                    k, (n, z0.shape[0])
+                )
+
+            scfg = SMCConfig(n_particles=n_part)
+            z_part, info = jax.jit(
+                lambda k: run_smc(fz, sample_q0, log_q0, k, scfg)
+            )(jax.random.fold_in(key, 2))
+            zs = z_part[:, None, :]      # [N, 1, P]
+            lps = jax.vmap(fz)(z_part)[:, None]
+            accept = float(info["accept"])
+            print(
+                f"  smc: log_evidence={float(info['log_evidence']):.2f} "
+                f"stages={int(info['n_stages'])}"
+            )
+        elif s.mcmc.sampler == "vi":
+            from base_tpu.inference.vi import (
+                VIConfig, run_vi, sample_posterior,
+            )
+
+            vcfg = VIConfig(n_steps=max(s.mcmc.warmup * 3, 600),
+                            full_rank=True)
+            res = jax.jit(lambda k: run_vi(fz, z0, k, vcfg))(
+                jax.random.fold_in(key, 3)
+            )
+            n_draw = max(s.mcmc.runIter, 256)
+            z_part = sample_posterior(
+                res, jax.random.fold_in(key, 4), n_draw
+            )
+            zs = z_part[:, None, :]
+            lps = jax.vmap(fz)(z_part)[:, None]
+            accept = float(res.final_elbo)
+            print(f"  vi: final ELBO={float(res.final_elbo):.2f}")
+        else:
+            cfg = HMCConfig(
+                n_warmup=s.mcmc.warmup,
+                n_samples=s.mcmc.runIter // n_chains,
+                thin=s.mcmc.thin, l_max=s.mcmc.lMax,
+                target_accept=s.mcmc.targetAccept,
+            )
+            zs, info = jax.jit(lambda z, k: run_hmc(fz, z, k, cfg))(
+                init, jax.random.fold_in(key, 1)
+            )
+            accept = float(info["accept_prob"])
+            lps = info["logposts"]
         xs = jax.vmap(jax.vmap(tr.forward))(zs)          # [N, C, 9]
-        lps = info["logposts"]
-        accept = float(info["accept_prob"])
     else:
         f = post.make_logpost_fn(model)
         step0 = np.array(
@@ -271,6 +356,79 @@ def cmd_sample_wd_mass(args) -> None:
     )
 
 
+def cmd_multi_pop(args) -> None:
+    """Two-population helium-spread sampler (multiPopMcmc analog)."""
+    import jax
+    import jax.numpy as jnp
+
+    from base_tpu.grids.load import make_model
+    from base_tpu.inference import diagnostics as diag
+    from base_tpu.inference.hmc import HMCConfig, run_hmc
+    from base_tpu.model import multipop as mp
+    from base_tpu.model.stardata import make_ms_stars
+
+    s = _settings(args)
+    table = photio.read_phot(s.files.photFile)
+    bundle = make_model(s)
+    rows = table.select(table.stage == C.StarStatus.MSRG)
+    stars = make_ms_stars(rows.mags, rows.sigmas, cm_prior=rows.cm_prior)
+
+    start9 = s.cluster.start_vector()
+    y0 = float(start9[C.Param.YYY])
+    prior_mean = np.concatenate(
+        [s.cluster.prior_mean_vector(),
+         np.asarray([y0 - 0.02, y0 + 0.02, 0.5], np.float32)]
+    )
+    prior_sigma = np.concatenate(
+        [s.cluster.prior_sigma_vector(),
+         np.asarray([-1.0, -1.0, -1.0], np.float32)]
+    )
+    model = mp.make_multipop_model(
+        bundle.ms, stars, prior_mean, prior_sigma,
+        n_q=s.mcmc.nMassRatio, binaries=not s.mcmc.noBinaries,
+    )
+    tr = mp.default_transform(model)
+    fz = mp.make_logpost_z_fn(model, tr)
+    start = np.concatenate(
+        [start9, np.asarray([y0 - 0.02, y0 + 0.02, 0.5], np.float32)]
+    )
+    key = jax.random.PRNGKey(s.mcmc.seed)
+    n_chains = s.mcmc.chains
+    z0 = tr.inverse(jnp.asarray(start))
+    init = jnp.tile(z0[None, :], (n_chains, 1))
+    init = init + 0.02 * jax.random.normal(key, init.shape)
+    cfg = HMCConfig(
+        n_warmup=s.mcmc.warmup, n_samples=s.mcmc.runIter // n_chains,
+        thin=s.mcmc.thin, l_max=s.mcmc.lMax,
+        target_accept=s.mcmc.targetAccept,
+    )
+    zs, info = jax.jit(lambda z, k: run_hmc(fz, z, k, cfg))(
+        init, jax.random.fold_in(key, 1)
+    )
+    xs = np.asarray(jax.vmap(jax.vmap(tr.forward))(zs))
+    out = s.files.outputFileBase + ".mp.res"
+    cols = list(mp.MP_PARAM_NAMES) + ["logPost", "chain"]
+    lps = np.asarray(info["logposts"])
+    with open(out, "w") as f:
+        f.write(" ".join(cols) + "\n")
+        for n in range(xs.shape[0]):
+            for c in range(xs.shape[1]):
+                row = [f"{v:.6f}" for v in xs[n, c]]
+                row += [f"{lps[n, c]:.4f}", str(c)]
+                f.write(" ".join(row) + "\n")
+    summ = diag.summarize(jnp.asarray(xs), mp.MP_PARAM_NAMES)
+    print(
+        f"multi-pop (hmc): {xs.shape[0]}x{xs.shape[1]} samples -> {out}"
+    )
+    print(f"  accept={float(info['accept_prob']):.3f}")
+    for i in [0, 2, 3, 4, mp.MP_YYA, mp.MP_YYB, mp.MP_LAMBDA]:
+        name = mp.MP_PARAM_NAMES[i]
+        print(
+            f"  {name:12s} mean={summ['mean'][i]: .4f} "
+            f"sd={summ['sd'][i]:.4f} rhat={summ['rhat'][i]:.3f}"
+        )
+
+
 def cmd_make_cmd(args) -> None:
     import jax.numpy as jnp
 
@@ -302,6 +460,7 @@ TOOLS = {
     "simulate": cmd_simulate,
     "scatter": cmd_scatter,
     "single-pop": cmd_single_pop,
+    "multi-pop": cmd_multi_pop,
     "sample-mass": cmd_sample_mass,
     "sample-wd-mass": cmd_sample_wd_mass,
     "make-cmd": cmd_make_cmd,

@@ -1,0 +1,93 @@
+"""NUTS tests: exact moments on correlated Gaussians, tree behavior,
+and cluster-posterior truth recovery."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from base_tpu.inference import nuts
+
+COV = np.array([[1.0, 0.9], [0.9, 1.0]], np.float32)
+MEAN = np.array([0.5, -1.5], np.float32)
+PREC = np.linalg.inv(COV).astype(np.float32)
+
+
+def gauss_lp(z):
+    d = z - jnp.asarray(MEAN)
+    return -0.5 * d @ jnp.asarray(PREC) @ d
+
+
+def test_nuts_gaussian_moments():
+    cfg = nuts.NUTSConfig(n_warmup=300, n_samples=400, max_depth=6)
+    init = jax.random.normal(jax.random.PRNGKey(0), (8, 2))
+    samples, info = jax.jit(
+        lambda z, k: nuts.run_nuts(gauss_lp, z, k, cfg)
+    )(init, jax.random.PRNGKey(1))
+    flat = np.asarray(samples).reshape(-1, 2)
+    assert float(info["accept_prob"]) > 0.5
+    np.testing.assert_allclose(flat.mean(0), MEAN, atol=0.15)
+    np.testing.assert_allclose(np.cov(flat.T), COV, atol=0.35)
+    # Trees actually doubled (more than 1 leapfrog per transition).
+    assert float(info["mean_leapfrogs"]) > 3.0
+
+
+def test_nuts_scales_trajectory_with_anisotropy():
+    """A long narrow Gaussian needs longer trajectories than an
+    isotropic one at the same (unadapted) step size: NUTS should take
+    more leapfrogs per iteration."""
+
+    def narrow(z):
+        return -0.5 * (z[0] ** 2 / 100.0 + z[1] ** 2)
+
+    def iso(z):
+        return -0.5 * jnp.sum(z * z)
+
+    cfg = nuts.NUTSConfig(
+        n_warmup=50, n_samples=100, max_depth=8, n_windows=1,
+        init_step=0.5,
+    )
+    init = jnp.zeros((4, 2)) + 0.1
+
+    def mean_lf(lp):
+        # disable mass adaptation effect by tiny warmup; measure depth
+        _, info = jax.jit(
+            lambda z, k: nuts.run_nuts(lp, z, k, cfg)
+        )(init, jax.random.PRNGKey(2))
+        return float(info["mean_leapfrogs"])
+
+    assert mean_lf(narrow) > 1.5 * mean_lf(iso)
+
+
+def test_nuts_cluster_truth_recovery(small_grid):
+    from base_tpu.model import posterior as post
+    from base_tpu.model.stardata import make_ms_stars
+    from base_tpu.sim.scatter import scatter_cluster
+    from base_tpu.sim.simulate import simulate_cluster
+
+    TRUTH = np.array([9.3, 0.27, -0.5, 10.0, 0.3, 0.5, 0, 0, 0],
+                     np.float32)
+    cat = simulate_cluster(small_grid, jnp.asarray(TRUTH), 48,
+                           jax.random.PRNGKey(71), percent_binary=0.0)
+    sc = scatter_cluster(cat.mags, jax.random.PRNGKey(72), limit_mag=24.0)
+    stars = make_ms_stars(np.asarray(sc.mags), np.asarray(sc.sigmas),
+                          cm_prior=0.999)
+    model = post.make_single_pop_model(
+        small_grid, stars, prior_mean=TRUTH,
+        prior_sigma=np.array([-1, -1, 0.3, 0.2, 0.1, -1, -1, -1, -1],
+                             np.float32),
+        n_q=6, binaries=False,
+    )
+    tr = post.default_transform(model)
+    fz = post.make_logpost_z_fn(model, tr)
+    z0 = tr.inverse(jnp.asarray(TRUTH))
+    init = jnp.tile(z0[None, :], (4, 1))
+    init = init + 0.01 * jax.random.normal(jax.random.PRNGKey(73),
+                                           init.shape)
+    cfg = nuts.NUTSConfig(n_warmup=100, n_samples=100, max_depth=6,
+                          n_windows=2)
+    zs, info = jax.jit(
+        lambda z, k: nuts.run_nuts(fz, z, k, cfg)
+    )(init, jax.random.PRNGKey(74))
+    xs = np.asarray(jax.vmap(jax.vmap(tr.forward))(zs)).reshape(-1, 9)
+    assert np.isfinite(xs).all()
+    assert abs(xs[:, 0].mean() - TRUTH[0]) < 0.1
+    assert float(info["accept_prob"]) > 0.4
