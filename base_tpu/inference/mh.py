@@ -67,18 +67,25 @@ def run_adaptive_mh(
     key: Array,
     step_init: Array,
     cfg: MHConfig = MHConfig(),
+    logpost_burnin_fn: Callable | None = None,
 ):
     """Full 3-stage adaptive MH for one chain (vmap for many).
 
     Returns (samples [n_main // thin, P], info dict).  step_init [P]:
     initial per-parameter scales; 0 pins a parameter.
+
+    `logpost_burnin_fn`, when given, is the density used during stages
+    1-2 — the reference's useDuringBurnIn star subset [SURVEY.md C3/C14]
+    restricts burn-in to well-behaved stars; stage 3 always targets the
+    full density (with a fresh evaluation at the hand-off).
     """
     P = init_position.shape[0]
     free = (step_init > 0).astype(jnp.float32)
     n_free = jnp.maximum(jnp.sum(free), 1.0)
+    burn_fn = logpost_burnin_fn or logpost_fn
     state = MHState(
         position=init_position,
-        logpost=logpost_fn(init_position),
+        logpost=burn_fn(init_position),
         key=key,
     )
 
@@ -91,7 +98,7 @@ def run_adaptive_mh(
             k_prop, key = jax.random.split(st.key)
             st = st._replace(key=key)
             delta = step * free * jax.random.normal(k_prop, (P,))
-            st, acc = _mh_step(logpost_fn, st, delta)
+            st, acc = _mh_step(burn_fn, st, delta)
             return (st, acc_n + acc), None
 
         (state, acc_n), _ = jax.lax.scan(
@@ -113,7 +120,7 @@ def run_adaptive_mh(
         k_prop, key = jax.random.split(st.key)
         st = st._replace(key=key)
         delta = step * free * jax.random.normal(k_prop, (P,))
-        st, acc = _mh_step(logpost_fn, st, delta)
+        st, acc = _mh_step(burn_fn, st, delta)
         return st, (st.position, acc)
 
     state, (s2_pos, s2_acc) = jax.lax.scan(
@@ -126,6 +133,9 @@ def run_adaptive_mh(
     # then their proposal contribution is masked out anyway.
     cov = cov + jnp.diag(1.0 - free) + 1e-8 * jnp.eye(P)
     chol = jnp.linalg.cholesky(cov)
+
+    # Hand-off: re-evaluate the chain position under the FULL density.
+    state = state._replace(logpost=logpost_fn(state.position))
 
     scale = cfg.stage3_scale
     if scale is None:

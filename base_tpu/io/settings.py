@@ -135,6 +135,9 @@ class ScatterClusterSettings:
     faintLimit: float = 30.0
     sigmaFloor: float = 0.01
     relevantFilt: int = 2
+    # per-band exposure times (same order as models.bands); empty = use
+    # limitMag for every band [SURVEY.md C12 scatterCluster.exposures]
+    exposures: list = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass

@@ -160,6 +160,69 @@ def run_hmc_sharded(
     )
 
 
+def run_smc_sharded(
+    model: SinglePopModel,
+    transform,
+    center_z: Array,        # [P] q0 center in unconstrained space
+    key: Array,
+    cfg,                    # smc.SMCConfig (n_particles = PER SHARD)
+    mesh: Mesh,
+    q0_sd: float = 0.5,
+):
+    """Tempered SMC over the (chains x stars) mesh: particles shard on
+    the chain axis (pooled-weight systematic resampling via all_gather),
+    stars shard inside the density via psum — the pod-scale
+    BASELINE.json:11 configuration.  Returns (particles [N_total, P],
+    info)."""
+    from base_tpu.inference import smc as smc_mod
+
+    model = shard_stars(model, mesh)
+    stars = model.stars
+    frame = dataclasses.replace(model, stars=None)
+    P_dim = center_z.shape[0]
+
+    def device_fn(stars_local, key):
+        ci = jax.lax.axis_index(CHAIN_AXIS)
+        base = local_logpost_fn(frame, stars_local, STAR_AXIS)
+
+        def log_target(z):
+            x = transform.forward(z)
+            return base(x) + transform.log_det_jacobian(z)
+
+        def log_q0(z):
+            return jnp.sum(
+                -0.5 * ((z - center_z) / q0_sd) ** 2
+                - jnp.log(q0_sd) - 0.9189385332046727
+            )
+
+        def sample_q0(k, n):
+            # distinct particles per chain shard, identical across star
+            # shards (their psum-ed density keeps them in lockstep)
+            kk = jax.random.fold_in(k, ci)
+            return center_z[None, :] + q0_sd * jax.random.normal(
+                kk, (n, P_dim)
+            )
+
+        return smc_mod.run_smc(
+            log_target, sample_q0, log_q0, key, cfg,
+            axis_name=CHAIN_AXIS,
+        )
+
+    fn = shard_map(
+        device_fn,
+        mesh=mesh,
+        in_specs=(_star_specs(stars), P()),
+        out_specs=(
+            P(CHAIN_AXIS, None),
+            dict(log_evidence=P(), beta=P(), n_stages=P(), accept=P(),
+                 betas=P()),
+        ),
+        check_vma=False,
+    )
+    particles, info = jax.jit(fn)(stars, key)
+    return particles, info
+
+
 def run_mh_sharded(
     model: SinglePopModel,
     init_position: Array,   # [C_total, P]

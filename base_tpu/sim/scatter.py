@@ -2,13 +2,15 @@
 
 TPU-native rebuild of the reference's noise stage [upstream:
 scatterCluster/ — SURVEY.md E4, §3.3]: per-band magnitude-dependent
-Gaussian uncertainties from an S/N-vs-magnitude model with bright/faint
-cutoffs, emitting sampler-ready photometry (sigma < 0 marks a band
-unobserved, matching the .phot convention [SURVEY.md C14]).
+Gaussian uncertainties from an S/N-vs-magnitude model with per-band
+exposure times, and bright/faint cutoffs applied on a designated
+"relevant filter" (the reference's relevantFilt column), emitting
+sampler-ready photometry (sigma < 0 marks a band unobserved, matching
+the .phot convention [SURVEY.md C14]).
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -22,30 +24,56 @@ class ScatteredCatalog(NamedTuple):
 
 def sigma_model(
     mags: Array,
-    limit_mag: float = 22.0,
+    limit_mag: Array | float = 22.0,
     sigma_floor: float = 0.01,
 ) -> Array:
     """Photometric uncertainty vs magnitude.
 
     sigma(m) = sigma_floor + exp(1.09 (m - limit));  ~sigma_floor for
     bright stars, ~0.1 mag near the survey limit — the usual background-
-    limited error curve shape (reference: per-band exposure-time S/N model
-    [SURVEY.md E4]; exact form config-tunable).
+    limited error curve shape (reference: per-band exposure-time S/N
+    model [SURVEY.md E4]).  `limit_mag` may be per-band [B].
     """
     return sigma_floor + jnp.exp(1.09 * (mags - limit_mag))
+
+
+def exposure_limits(
+    exposures: Sequence[float] | Array, base_limit: float = 22.0
+) -> Array:
+    """Per-band limiting magnitudes from exposure times (hours-like
+    units): background-limited depth gains 1.25 log10(t) mag — the
+    reference's exposures section maps to this [SURVEY.md C12
+    scatterCluster.exposures]."""
+    t = jnp.asarray(exposures, jnp.float32)
+    return base_limit + 1.25 * jnp.log10(jnp.maximum(t, 1e-6))
 
 
 def scatter_cluster(
     mags: Array,
     key,
-    limit_mag: float = 22.0,
+    limit_mag: Array | float = 22.0,
     bright_limit: float = -10.0,
     faint_limit: float = 30.0,
     sigma_floor: float = 0.01,
+    relevant_filt: int | None = None,
 ) -> ScatteredCatalog:
+    """Add noise + apply cutoffs.
+
+    Per-band behavior: a band is unobserved (sigma < 0) when its noisy
+    magnitude exceeds its own limit by > 1 mag.  Row behavior: when
+    `relevant_filt` is given, the bright/faint limits cut on THAT band
+    only and blank the whole star (reference semantics); otherwise the
+    limits apply band-wise.
+    """
     sig = sigma_model(mags, limit_mag, sigma_floor)
     noisy = mags + sig * jax.random.normal(key, mags.shape)
-    observed = (noisy > bright_limit) & (noisy < faint_limit)
+    detected = noisy < (jnp.asarray(limit_mag) + 1.0)
+    if relevant_filt is None:
+        in_cut = (noisy > bright_limit) & (noisy < faint_limit)
+    else:
+        rf = noisy[:, relevant_filt]
+        in_cut = ((rf > bright_limit) & (rf < faint_limit))[:, None]
+    observed = detected & in_cut
     return ScatteredCatalog(
         mags=jnp.where(observed, noisy, 99.0),
         sigmas=jnp.where(observed, sig, -9.0),

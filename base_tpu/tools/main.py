@@ -117,16 +117,24 @@ def cmd_scatter(args) -> None:
     import jax
     import jax.numpy as jnp
 
-    from base_tpu.sim.scatter import scatter_cluster
+    from base_tpu.sim.scatter import exposure_limits, scatter_cluster
 
     s = _settings(args)
     table = photio.read_phot(s.files.photFile)
+    if s.scatterCluster.exposures:
+        limits = exposure_limits(
+            [float(x) for x in s.scatterCluster.exposures],
+            base_limit=s.scatterCluster.limitMag,
+        )
+    else:
+        limits = s.scatterCluster.limitMag
     sc = scatter_cluster(
         jnp.asarray(table.mags), jax.random.PRNGKey(s.mcmc.seed + 1),
-        limit_mag=s.scatterCluster.limitMag,
+        limit_mag=limits,
         bright_limit=s.scatterCluster.brightLimit,
         faint_limit=s.scatterCluster.faintLimit,
         sigma_floor=s.scatterCluster.sigmaFloor,
+        relevant_filt=s.scatterCluster.relevantFilt,
     )
     table.mags = np.asarray(sc.mags)
     table.sigmas = np.asarray(sc.sigmas)
@@ -273,10 +281,21 @@ def cmd_single_pop(args) -> None:
             n_stage1=s.mcmc.stage1Iter, n_stage2=s.mcmc.stage2IterMax,
             n_main=s.mcmc.runIter // n_chains, thin=s.mcmc.thin,
         )
+        # useDuringBurnIn: stages 1-2 target only the flagged stars
+        # (reference C3/C14 semantics); stage 3 uses everything.
+        f_burn = None
+        if (table.use_dbi == 0).any():
+            burn_model = _build_model_from_phot(
+                s, table.select(table.use_dbi != 0)
+            )
+            f_burn = post.make_logpost_fn(burn_model)
         keys = jax.random.split(key, n_chains)
         init = jnp.tile(jnp.asarray(start)[None, :], (n_chains, 1))
         samples, info = jax.jit(jax.vmap(
-            lambda p, k: run_adaptive_mh(f, p, k, jnp.asarray(step0), cfg)
+            lambda p, k: run_adaptive_mh(
+                f, p, k, jnp.asarray(step0), cfg,
+                logpost_burnin_fn=f_burn,
+            )
         ))(init, keys)
         xs = jnp.swapaxes(samples, 0, 1)                 # [N, C, 9]
         lps = jnp.swapaxes(info["logposts"], 0, 1)       # [N, C]

@@ -131,3 +131,26 @@ def test_hmc_sharded_runs_and_recovers(cluster_model):
     assert abs(xs[:, :, 0].mean() - TRUTH[0]) < 0.1
     r = np.asarray(diag.split_rhat(jnp.asarray(xs[:, :, :5])))
     assert np.all(np.isfinite(r))
+
+
+def test_smc_sharded_cluster(cluster_model):
+    """Tempered SMC on the cluster posterior over the 2-D mesh
+    (BASELINE config 5 machinery at CI scale): particles shard on the
+    chain axis, stars psum inside the tempered density."""
+    from base_tpu.inference.smc import SMCConfig
+    from base_tpu.model import posterior as post
+
+    mesh = make_mesh(n_chain_shards=4, n_star_shards=2)
+    tr = post.default_transform(cluster_model)
+    z0 = tr.inverse(jnp.asarray(TRUTH))
+    cfg = SMCConfig(n_particles=128, n_move=2, max_stages=16)
+    particles, info = prun.run_smc_sharded(
+        cluster_model, tr, z0, jax.random.PRNGKey(17), cfg, mesh,
+        q0_sd=0.3,
+    )
+    assert particles.shape == (512, 9)
+    assert float(info["beta"]) == 1.0
+    xs = np.asarray(jax.vmap(tr.forward)(particles))
+    assert np.isfinite(xs).all()
+    assert abs(xs[:, 0].mean() - TRUTH[0]) < 0.1
+    assert np.isfinite(float(info["log_evidence"]))
