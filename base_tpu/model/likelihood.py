@@ -39,11 +39,16 @@ from jax import Array
 from base_tpu.grids.isochrone import Isochrone
 from base_tpu.model import priors
 from base_tpu.model.stardata import MSStars
-from base_tpu.ops.special import NEG_INF, masked_logsumexp
+from base_tpu.ops.special import (
+    NEG_INF,
+    masked_logsumexp,
+    phi_interval_scaled,
+)
 
 LN10_04 = 0.9210340371976184  # 0.4 * ln 10
 LOG_2PI = 1.8378770664093453
 _ALPHA_EPS = 1e-12
+_FLAT_EPS = 3e-7   # erf-cancellation guard (see ms_star_log_marginals)
 
 
 class SegmentTable(NamedTuple):
@@ -183,14 +188,89 @@ def segment_logintegrals(stars: MSStars, table: SegmentTable) -> Array:
     sq = jnp.sqrt(ac)
     log_phi = _log_ndtr_diff(-sq * mu, sq * (1.0 - mu))
     log_i = -0.5 * resid + 0.5 * (LOG_2PI - jnp.log(ac)) + log_phi
-    flat = -0.5 * gamma  # alpha ~ 0: integrand constant over the segment
-    out = jnp.where(alpha > _ALPHA_EPS, log_i, flat)
+    # Near-flat segments: midpoint value (same erf-cancellation guard and
+    # threshold as ms_star_log_marginals).
+    flat = -0.5 * (gamma - beta + 0.25 * alpha)
+    out = jnp.where(alpha > _FLAT_EPS, log_i, flat)
     return out + stars.log_norm[:, None]
 
 
+SQRT_2PI = 2.5066282746310002
+INV_SQRT2 = 0.7071067811865476
+
+
 def ms_star_log_marginals(stars: MSStars, table: SegmentTable) -> Array:
-    """Per-star log marginal cluster likelihood: logsumexp of the exact
-    segment integrals against the prior weights.  [S]"""
+    """Per-star log marginal cluster likelihood over the segment
+    quadrature.  [S]
+
+    Linear-space formulation: the naive path (segment_logintegrals +
+    logsumexp) spends ~12 transcendentals per (star, segment) keeping
+    every quantity in log space; here the exponentials never leave
+    linear space — terms are accumulated as
+
+        exp(-resid/2 + logw - m) * sqrt(2pi/alpha)
+          * (erf(u1/sqrt2) - erf(u0/sqrt2))/2
+
+    with the max-shift m taken on the cheap upper bound (-resid/2 +
+    logw, since the Phi-difference factor is <= 1 and the sqrt factor is
+    within a few nats).  Far-tail terms underflow to exactly 0.0, which
+    a sum (unlike a logsumexp) absorbs for free.  Transcendentals per
+    element: 1 exp + 2 erf + 1 rsqrt — ~3x fewer; one log per star.
+    This is the hot path's hot path (SURVEY.md §3.2).
+    """
+    d = table.hi - table.lo                                 # [T, B]
+    r = stars.obs_mags[:, None, :] - table.lo[None, :, :]   # [S, T, B]
+    iv = stars.inv_var[:, None, :]
+    alpha = jnp.sum(iv * d[None] * d[None], axis=-1)        # [S, T]
+    beta = jnp.sum(iv * r * d[None], axis=-1)
+    gamma = jnp.sum(iv * r * r, axis=-1)
+
+    ac = jnp.maximum(alpha, _ALPHA_EPS)
+    rsq = jax.lax.rsqrt(ac)
+    inv_a = rsq * rsq
+    mu = beta * inv_a
+    resid = jnp.maximum(gamma - beta * mu, 0.0)
+    sq = ac * rsq
+    u0 = -mu * sq
+    u1 = sq - mu * sq
+    # Scaled Phi-difference: width is O(1), and core carries the TRUE
+    # on-segment chi2 minimum (resid + u_near^2 — chi2 at the nearest
+    # endpoint when the peak lies outside the segment), so the max-shift
+    # bound is tight even for tail-dominated stars.
+    width_s, unear_sq = phi_interval_scaled(u0, u1)
+    # Near-flat segments (u-extent sqrt(alpha) < ~5e-4): the erf
+    # difference cancels catastrophically in float32, so switch to the
+    # midpoint value exp(-chi2(1/2)/2) — with alpha this small chi2
+    # varies by <~1 across the segment, so the midpoint error is tiny
+    # exactly where the cancellation error would be huge.
+    live = alpha > _FLAT_EPS
+    mid = gamma - beta + 0.25 * alpha
+    core = jnp.where(
+        live, -0.5 * (resid + unear_sq), -0.5 * mid
+    ) + table.logw[None, :]
+    neg = jnp.asarray(NEG_INF, core.dtype)
+    core = jnp.where(table.mask[None, :], core, neg)
+    m = jnp.maximum(jnp.max(core, axis=-1, keepdims=True), neg)  # [S, 1]
+
+    width = jnp.where(live, SQRT_2PI * rsq * width_s, 1.0)
+    terms = jnp.exp(core - m) * width                        # [S, T]
+    terms = jnp.where(table.mask[None, :], terms, 0.0)
+    s = jnp.sum(terms, axis=-1)
+    # Additive floor, and not a tiny one: 1/s enters the cotangent chain,
+    # and a 1e-38 floor makes ~1e38 cotangents that overflow against the
+    # rsqrt/erf factors (inf * 0 = NaN).  1e-15 caps the cotangents with
+    # ~1e5 of headroom while adding only -34.5 nats — far below the
+    # field-mixture floor that dominates such stars anyway.
+    out = jnp.squeeze(m, -1) + jnp.log(s + 1e-15)
+    out = jnp.where(s > 0, out, neg)
+    return out + stars.log_norm
+
+
+def ms_star_log_marginals_logspace(
+    stars: MSStars, table: SegmentTable
+) -> Array:
+    """Reference log-space path (segment_logintegrals + logsumexp); kept
+    for cross-checks and as the numerically-paranoid fallback.  [S]"""
     ll = segment_logintegrals(stars, table)  # [S, T]
     return masked_logsumexp(ll + table.logw[None, :], table.mask[None, :], axis=-1)
 

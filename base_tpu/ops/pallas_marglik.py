@@ -2,27 +2,34 @@
 
 This is the BASELINE.json:5 kernel — "Pallas-kernel multilinear
 interpolation fused into a vectorized per-star photometric
-log-likelihood".  The jnp path (model.likelihood.segment_logintegrals +
-masked_logsumexp) materializes alpha/beta/gamma/logI [S, T] intermediates
-in HBM per proposal (4+ round trips of S*T floats); this kernel streams
-segment tiles through VMEM, keeping a running (max, sumexp) accumulator
-per star, so HBM traffic drops to reading the [T, B] table + [S, B]
-photometry once per call, regardless of T.
+log-likelihood".  The jnp path (model.likelihood.ms_star_log_marginals)
+materializes alpha/beta/gamma/terms [S, T] intermediates in HBM per
+proposal; this kernel streams segment tiles through VMEM, keeping a
+running (max, sum) accumulator per star, so HBM traffic drops to reading
+the [T, B] table + [S, B] photometry once per call, regardless of T.
 
-Math is identical to the jnp path: per (star s, segment t)
-  chi2(t) = alpha u^2 - 2 beta u + gamma  (u in [0, 1])
-  logI = -(gamma - beta^2/alpha)/2 + (log 2pi - log alpha)/2
-         + log(Phi(u1) - Phi(u0)),  u0 = -beta/sqrt(a), u1 = (a-b)/sqrt(a)
-  out[s] = logsumexp_t(logI + logw) + log_norm[s]
+Math matches the jnp path's linear-space formulation exactly: per
+(star s, segment t), with chi2(u) = alpha u^2 - 2 beta u + gamma,
 
-The backward pass is a second kernel computing d/d{lo, hi, logw} with
-the same tiling (softmax weights recomputed from the saved forward
-output — nothing [S, T]-sized is ever stored).  Photometry inputs get
-zero cotangents (data).
+  term = exp(-resid/2 + logw - m) * sqrt(2pi/alpha)
+         * (erf(u1/sqrt2) - erf(u0/sqrt2)) / 2
+  out[s] = m + log(sum_t term + 1e-15) + log_norm[s]
+
+(resid = gamma - beta^2/alpha, u0 = -mu sqrt(a), u1 = (1-mu) sqrt(a),
+flat segments alpha ~ 0 fall back to exp(-gamma/2 + logw - m)).
+Transcendentals per element: 1 exp + 2 erf-polynomials (1 exp each) —
+Mosaic lowers no erf/erfc primitive, so erf is the Abramowitz-Stegun
+7.1.26 polynomial (|err| <= 1.5e-7).
+
+The backward pass is a second kernel with the same tiling; softmax-style
+weights are recomputed from the saved forward output, and the
+d/d{alpha,beta,gamma} sensitivities come from forward-mode AD of the
+same tile formula, so gradients are exactly consistent with the kernel's
+own density.  Photometry inputs get zero cotangents (data).
 
 Layout: the table is passed TRANSPOSED ([B, T]) so per-band rows are
-contiguous lanes; tiles are (S_TILE x T_TILE) = (256, 256) f32, well
-under VMEM with headroom for ~6 live temporaries.
+contiguous lanes; star tiles adapt to S (multiple of 8) so small-cluster
+calls don't pay 2.5x padding waste.
 """
 from __future__ import annotations
 
@@ -34,59 +41,28 @@ from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from base_tpu.ops.special import phi_interval_scaled
+
 NEG_BIG = -1e30
-LOG_2PI = 1.8378770664093453
-HALF_LOG_2PI = 0.9189385332046727
+SQRT_2PI = 2.5066282746310002
+INV_SQRT2 = 0.7071067811865476
 _ALPHA_EPS = 1e-12
+_FLAT_EPS = 3e-7
 
-S_TILE = 256
-T_TILE = 256
-
-
-def _log_erfc_pos(x: Array) -> Array:
-    """log(erfc(x)) for x >= 0 via Abramowitz-Stegun 7.1.26.
-
-    erfc(x) = P(t) exp(-x^2), t = 1/(1 + 0.3275911 x), |abs err of
-    P(t)exp(-x^2)| <= 1.5e-7 — evaluated in log space so the tail never
-    underflows.  Mosaic-safe: mul/exp/log only (no erf/erfc primitive,
-    which Pallas TPU cannot lower).
-    """
-    t = 1.0 / (1.0 + 0.3275911 * x)
-    poly = t * (
-        0.254829592
-        + t * (-0.284496736
-               + t * (1.421413741
-                      + t * (-1.453152027 + t * 1.061405429)))
-    )
-    return jnp.log(jnp.maximum(poly, 1e-30)) - x * x
+MAX_S_TILE = 256
+MAX_T_TILE = 512
 
 
-def _log_ndtr(x: Array) -> Array:
-    """Stable elementwise log Phi(x) (float32, kernel-safe)."""
-    inv_sqrt2 = 0.7071067811865476
-    xc = jnp.clip(x, -200.0, 200.0)
-    # x <= 0: Phi(x) = 0.5 erfc(-x/sqrt2)
-    left = jnp.log(0.5) + _log_erfc_pos(jnp.maximum(-xc, 0.0) * inv_sqrt2)
-    # x > 0: Phi(x) = 1 - 0.5 erfc(x/sqrt2)
-    q = 0.5 * jnp.exp(_log_erfc_pos(jnp.maximum(xc, 0.0) * inv_sqrt2))
-    right = jnp.log1p(-jnp.minimum(q, 0.999999))
-    return jnp.where(x > 0.0, right, left)
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
 
 
-def _log_ndtr_diff(a: Array, b: Array):
-    """(log(Phi(b) - Phi(a)), log_ndtr at reflected endpoints).  b >= a."""
-    flip = (a + b) > 0
-    aa = jnp.where(flip, -b, a)
-    bb = jnp.where(flip, -a, b)
-    la = _log_ndtr(aa)
-    lb = _log_ndtr(bb)
-    d = jnp.minimum(la - lb, -1e-7)
-    return lb + jnp.log1p(-jnp.exp(d))
+def _tile_core_width(obs, iv, loT, hiT, logw, maskf, n_bands):
+    """Per-tile shared computation.
 
-
-def _tile_logI(obs, iv, loT, hiT, logw, maskf, n_bands):
-    """Shared per-tile computation: returns (logI+logw masked [S_t, T_t],
-    alpha, beta, gamma)."""
+    Returns (core [S_t, T_t] = -chi2_min/2 + logw, masked to NEG_BIG;
+    width [S_t, T_t] = sqrt(2pi/alpha) * Phi-difference, 1.0 for flat
+    segments; plus (alpha, beta, gamma) for the backward pass)."""
     St = obs.shape[0]
     Tt = loT.shape[1]
     alpha = jnp.zeros((St, Tt), jnp.float32)
@@ -101,16 +77,29 @@ def _tile_logI(obs, iv, loT, hiT, logw, maskf, n_bands):
         alpha = alpha + iv_b * d_b * d_b
         beta = beta + iv_b * r_b * d_b
         gamma = gamma + iv_b * r_b * r_b
+    core, width = _core_width_of(alpha, beta, gamma, logw, maskf)
+    return core, width, alpha, beta, gamma
+
+
+def _core_width_of(alpha, beta, gamma, logw, maskf):
+    """The (core, width) formula as a pure function of (alpha, beta,
+    gamma) — shared by the forward tile and the backward jvp."""
     ac = jnp.maximum(alpha, _ALPHA_EPS)
-    mu = beta / ac
-    resid = jnp.maximum(gamma - beta * beta / ac, 0.0)
-    sq = jnp.sqrt(ac)
-    log_phi = _log_ndtr_diff(-sq * mu, sq * (1.0 - mu))
-    log_i = -0.5 * resid + 0.5 * (LOG_2PI - jnp.log(ac)) + log_phi
-    flat = -0.5 * gamma
-    log_i = jnp.where(alpha > _ALPHA_EPS, log_i, flat)
-    x = jnp.where(maskf > 0.5, log_i + logw, NEG_BIG)
-    return x, alpha, beta, gamma, ac, mu, resid
+    rsq = jax.lax.rsqrt(ac)
+    mu = beta * rsq * rsq
+    resid = jnp.maximum(gamma - beta * mu, 0.0)
+    sq = ac * rsq
+    u0 = -mu * sq
+    u1 = sq - mu * sq
+    # Scaled Phi-difference + true on-segment chi2 minimum in the core
+    # (see likelihood.ms_star_log_marginals — identical math).
+    width_s, unear_sq = phi_interval_scaled(u0, u1)
+    live = alpha > _FLAT_EPS
+    mid = gamma - beta + 0.25 * alpha
+    core = jnp.where(live, -0.5 * (resid + unear_sq), -0.5 * mid) + logw
+    core = jnp.where(maskf > 0.5, core, NEG_BIG)
+    width = jnp.where(live, SQRT_2PI * rsq * width_s, 1.0)
+    return core, width
 
 
 def _fwd_kernel(
@@ -119,12 +108,14 @@ def _fwd_kernel(
 ):
     ti = pl.program_id(1)
     n_t = pl.num_programs(1)
-    x, *_ = _tile_logI(
+    core, width, *_ = _tile_core_width(
         obs_ref[:], iv_ref[:], loT_ref[:], hiT_ref[:],
         logw_ref[:], mask_ref[:], n_bands,
     )
-    tm = jnp.max(x, axis=1, keepdims=True)          # [St, 1]
-    tsum = jnp.sum(jnp.exp(x - tm), axis=1, keepdims=True)
+    tm = jnp.max(core, axis=1, keepdims=True)            # [St, 1]
+    tsum = jnp.sum(
+        jnp.exp(core - tm) * width, axis=1, keepdims=True
+    )
 
     @pl.when(ti == 0)
     def _():
@@ -142,9 +133,7 @@ def _fwd_kernel(
 
     @pl.when(ti == n_t - 1)
     def _():
-        out_ref[:] = (
-            m_sc[:] + jnp.log(jnp.maximum(s_sc[:], 1e-38)) + ln_ref[:]
-        )
+        out_ref[:] = m_sc[:] + jnp.log(s_sc[:] + 1e-15) + ln_ref[:]
 
 
 def _bwd_kernel(
@@ -153,36 +142,36 @@ def _bwd_kernel(
     dlo_ref, dhi_ref, dlogw_ref, *, n_bands: int,
 ):
     si = pl.program_id(1)
-    x, alpha, beta, gamma, ac, mu, resid = _tile_logI(
+    core, width, alpha, beta, gamma = _tile_core_width(
         obs_ref[:], iv_ref[:], loT_ref[:], hiT_ref[:],
         logw_ref[:], mask_ref[:], n_bands,
     )
-    # softmax weight * upstream grad; out_ref/g_ref are [St, 1]
-    gw = g_ref[:] * jnp.exp(x - out_ref[:])         # [St, Tt]
+    # out_ref/g_ref are [St, 1]; out' = m + log(sum) so
+    # exp(core - out') * width = term / sum  (the softmax weight).
+    e = jnp.exp(core - out_ref[:])                        # [St, Tt]
+    gw_core = g_ref[:] * e * width    # cotangent of core per element
+    gw_width = g_ref[:] * e           # cotangent of width per element
 
-    # d logI / d {alpha, beta, gamma} by forward-mode AD of the SAME
-    # formula the forward evaluates (including the polynomial log-ndtr),
-    # so gradients are exactly consistent with the kernel's density —
-    # hand-derived phi/D expressions drift where the polynomial
-    # approximation's derivative departs from the true Mills ratio.
-    def _logI_of(a, b, c):
-        a_c = jnp.maximum(a, _ALPHA_EPS)
-        mu_ = b / a_c
-        resid_ = jnp.maximum(c - b * b / a_c, 0.0)
-        sq_ = jnp.sqrt(a_c)
-        lphi = _log_ndtr_diff(-sq_ * mu_, sq_ * (1.0 - mu_))
-        li = -0.5 * resid_ + 0.5 * (LOG_2PI - jnp.log(a_c)) + lphi
-        return jnp.where(a > _ALPHA_EPS, li, -0.5 * c)
+    logw_t = logw_ref[:]
+    maskf = mask_ref[:]
+
+    def cw(a, b, c):
+        return _core_width_of(a, b, c, logw_t, maskf)
 
     ones = jnp.ones_like(alpha)
     zeros = jnp.zeros_like(alpha)
-    _, dIa = jax.jvp(_logI_of, (alpha, beta, gamma), (ones, zeros, zeros))
-    _, dIb = jax.jvp(_logI_of, (alpha, beta, gamma), (zeros, ones, zeros))
-    _, dIc = jax.jvp(_logI_of, (alpha, beta, gamma), (zeros, zeros, ones))
-
-    ga = gw * dIa
-    gb = gw * dIb
-    gc = gw * dIc
+    (_, _), (dcore_da, dwidth_da) = jax.jvp(
+        cw, (alpha, beta, gamma), (ones, zeros, zeros)
+    )
+    (_, _), (dcore_db, dwidth_db) = jax.jvp(
+        cw, (alpha, beta, gamma), (zeros, ones, zeros)
+    )
+    (_, _), (dcore_dc, dwidth_dc) = jax.jvp(
+        cw, (alpha, beta, gamma), (zeros, zeros, ones)
+    )
+    ga = gw_core * dcore_da + gw_width * dwidth_da
+    gb = gw_core * dcore_db + gw_width * dwidth_db
+    gc = gw_core * dcore_dc + gw_width * dwidth_dc
 
     first = si == 0
     for bnd in range(n_bands):
@@ -191,11 +180,12 @@ def _bwd_kernel(
         o_b = obs_ref[:, bnd : bnd + 1]
         iv_b = iv_ref[:, bnd : bnd + 1]
         r_b = o_b - lo_b
-        # d alpha/d lo = -2 iv d ; d beta/d lo = -iv (d + r) ; d gamma/d lo = -2 iv r
+        # d alpha/d lo = -2 iv d ; d beta/d lo = -iv (d + r) ;
+        # d gamma/d lo = -2 iv r
         dlo_t = jnp.sum(
             iv_b * (-2.0 * ga * d_b - gb * (d_b + r_b) - 2.0 * gc * r_b),
             axis=0, keepdims=True,
-        )                                            # [1, Tt]
+        )                                                  # [1, Tt]
         # d alpha/d hi = 2 iv d ; d beta/d hi = iv r
         dhi_t = jnp.sum(
             iv_b * (2.0 * ga * d_b + gb * r_b), axis=0, keepdims=True
@@ -211,7 +201,7 @@ def _bwd_kernel(
             dlo_ref[bnd : bnd + 1, :] = dlo_ref[bnd : bnd + 1, :] + dlo_t
             dhi_ref[bnd : bnd + 1, :] = dhi_ref[bnd : bnd + 1, :] + dhi_t
 
-    dw_t = jnp.sum(gw, axis=0, keepdims=True)        # [1, Tt]
+    dw_t = jnp.sum(gw_core, axis=0, keepdims=True)         # [1, Tt]
 
     @pl.when(first)
     def _():
@@ -231,43 +221,18 @@ def _pad_to(x, n, axis, value=0.0):
     return jnp.pad(x, widths, constant_values=value)
 
 
-@functools.lru_cache(maxsize=4)
-def _make_fused(interpret: bool):
-    @jax.custom_vjp
-    def f(obs, inv_var, log_norm, lo, hi, logw, maskf):
-        out, _ = _fwd(obs, inv_var, log_norm, lo, hi, logw, maskf, interpret)
-        return out
-
-    f.defvjp(
-        functools.partial(_fwd_rule, interpret),
-        functools.partial(_bwd_rule, interpret),
-    )
-    return f
-
-
-def fused_log_marginals(
-    obs: Array,      # [S, B]
-    inv_var: Array,  # [S, B]
-    log_norm: Array, # [S]
-    lo: Array,       # [T, B]
-    hi: Array,       # [T, B]
-    logw: Array,     # [T]
-    maskf: Array,    # [T] float {0, 1}
-    interpret: bool = False,
-) -> Array:
-    """Per-star log marginal cluster likelihood, fused on-chip.  Matches
-    likelihood.ms_star_log_marginals(stars, table) with the table pieces
-    passed explicitly.  Differentiable wrt log_norm/lo/hi/logw."""
-    return _make_fused(bool(interpret))(
-        obs, inv_var, log_norm, lo, hi, logw, maskf
-    )
+def _tiles(S: int, T: int):
+    s_tile = min(MAX_S_TILE, _round_up(S, 8))
+    t_tile = min(MAX_T_TILE, _round_up(T, 128))
+    return s_tile, t_tile
 
 
 def _fwd(obs, inv_var, log_norm, lo, hi, logw, maskf, interpret):
     S, B = obs.shape
     T = lo.shape[0]
-    Sp = max(((S + S_TILE - 1) // S_TILE) * S_TILE, S_TILE)
-    Tp = max(((T + T_TILE - 1) // T_TILE) * T_TILE, T_TILE)
+    S_TILE, T_TILE = _tiles(S, T)
+    Sp = _round_up(S, S_TILE)
+    Tp = _round_up(T, T_TILE)
 
     obs_p = _pad_to(obs, Sp, 0)
     iv_p = _pad_to(inv_var, Sp, 0)
@@ -319,8 +284,9 @@ def _bwd_rule(interpret, residuals, g):
     obs, inv_var, log_norm, lo, hi, logw, maskf, out = residuals
     S, B = obs.shape
     T = lo.shape[0]
-    Sp = max(((S + S_TILE - 1) // S_TILE) * S_TILE, S_TILE)
-    Tp = max(((T + T_TILE - 1) // T_TILE) * T_TILE, T_TILE)
+    S_TILE, T_TILE = _tiles(S, T)
+    Sp = _round_up(S, S_TILE)
+    Tp = _round_up(T, T_TILE)
 
     obs_p = _pad_to(obs, Sp, 0)
     iv_p = _pad_to(inv_var, Sp, 0)
@@ -328,8 +294,9 @@ def _bwd_rule(interpret, residuals, g):
     hiT = _pad_to(hi.T, Tp, 1)
     logw_p = _pad_to(logw.reshape(1, T), Tp, 1)
     mask_p = _pad_to(maskf.reshape(1, T), Tp, 1)
-    # The kernel's x excludes log_norm while out includes it: remove it
-    # so exp(x - out) is the true softmax weight.  Padded stars: g=0.
+    # The kernel's core excludes log_norm while out includes it: remove
+    # it so exp(core - out) is the true per-element softmax weight.
+    # Padded stars: g = 0 kills their contributions.
     out_p = _pad_to((out - log_norm).reshape(S, 1), Sp, 0)
     g_p = _pad_to(g.reshape(S, 1), Sp, 0)
 
@@ -381,3 +348,34 @@ def _bwd_rule(interpret, residuals, g):
     dmask = jnp.zeros_like(maskf)
     return (zeros_obs, zeros_iv, dln, dlo, dhi, dlogw_out, dmask)
 
+
+@functools.lru_cache(maxsize=4)
+def _make_fused(interpret: bool):
+    @jax.custom_vjp
+    def f(obs, inv_var, log_norm, lo, hi, logw, maskf):
+        out, _ = _fwd(obs, inv_var, log_norm, lo, hi, logw, maskf, interpret)
+        return out
+
+    f.defvjp(
+        functools.partial(_fwd_rule, interpret),
+        functools.partial(_bwd_rule, interpret),
+    )
+    return f
+
+
+def fused_log_marginals(
+    obs: Array,      # [S, B]
+    inv_var: Array,  # [S, B]
+    log_norm: Array, # [S]
+    lo: Array,       # [T, B]
+    hi: Array,       # [T, B]
+    logw: Array,     # [T]
+    maskf: Array,    # [T] float {0, 1}
+    interpret: bool = False,
+) -> Array:
+    """Per-star log marginal cluster likelihood, fused on-chip.  Matches
+    likelihood.ms_star_log_marginals(stars, table) with the table pieces
+    passed explicitly.  Differentiable wrt log_norm/lo/hi/logw."""
+    return _make_fused(bool(interpret))(
+        obs, inv_var, log_norm, lo, hi, logw, maskf
+    )

@@ -94,7 +94,8 @@ def test_star_sharded_logpost_matches_single_device(cluster_model):
         out_specs=P(), check_vma=False,
     ))
     got = float(fn(stars, jnp.asarray(TRUTH)))
-    np.testing.assert_allclose(got, want, rtol=2e-6)
+    # float32 star-sum reassociation across shards: ~1e-5 relative
+    np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
 def test_mh_sharded_runs_and_recovers(cluster_model):
