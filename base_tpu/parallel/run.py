@@ -160,6 +160,55 @@ def run_hmc_sharded(
     )
 
 
+def run_nuts_sharded(
+    model: SinglePopModel,
+    transform,
+    init_z: Array,   # [C_total, P]
+    key: Array,
+    cfg,             # nuts.NUTSConfig
+    mesh: Mesh,
+):
+    """NUTS over the (chains x stars) mesh — same contract as
+    run_hmc_sharded (dual averaging pools across devices inside
+    nuts.run_nuts via axis_name)."""
+    from base_tpu.inference import nuts as nuts_mod
+
+    model = shard_stars(model, mesh)
+    stars = model.stars
+    frame = dataclasses.replace(model, stars=None)
+
+    def device_fn(stars_local, init_z_local, key):
+        ci = jax.lax.axis_index(CHAIN_AXIS)
+        dkey = jax.random.fold_in(key, ci)
+        base = local_logpost_fn(frame, stars_local, STAR_AXIS)
+
+        def logpost_z(z):
+            x = transform.forward(z)
+            return base(x) + transform.log_det_jacobian(z)
+
+        samples, info = nuts_mod.run_nuts(
+            logpost_z, init_z_local, dkey, cfg, axis_name=CHAIN_AXIS
+        )
+        accept = jax.lax.pmean(info["accept_prob"], CHAIN_AXIS)
+        nlf = jax.lax.pmean(info["mean_leapfrogs"], CHAIN_AXIS)
+        return samples, accept, info["step_size"], info["inv_mass"], nlf
+
+    fn = shard_map(
+        device_fn,
+        mesh=mesh,
+        in_specs=(_star_specs(stars), P(CHAIN_AXIS, None), P()),
+        out_specs=(P(None, CHAIN_AXIS, None), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    samples, accept, step_size, inv_mass, nlf = jax.jit(fn)(
+        stars, init_z, key
+    )
+    return samples, dict(
+        accept_prob=accept, step_size=step_size, inv_mass=inv_mass,
+        mean_leapfrogs=nlf,
+    )
+
+
 def run_smc_sharded(
     model: SinglePopModel,
     transform,

@@ -123,3 +123,19 @@ def test_res_roundtrip(workdir, rng):
         t.params.reshape(50, 3, 9), samples, atol=1e-5
     )
     assert t.chain is not None and set(t.chain) == {0, 1, 2}
+
+
+def test_sqlite_store_roundtrip(workdir, rng):
+    from base_tpu.io.sqlite_store import read_res_sqlite, write_res_sqlite
+
+    samples = rng.normal(size=(20, 3, 9)).astype(np.float32)
+    lp = rng.normal(size=(20, 3)).astype(np.float32)
+    p = str(workdir / "chain.sqlite")
+    write_res_sqlite(p, samples, lp, meta={"sampler": "hmc", "seed": 7})
+    params, logpost, chain, meta = read_res_sqlite(p)
+    assert params.shape == (60, 9)
+    np.testing.assert_allclose(
+        params.reshape(20, 3, 9), samples, atol=1e-6
+    )
+    np.testing.assert_allclose(logpost.reshape(20, 3), lp, atol=1e-6)
+    assert meta["sampler"] == "hmc" and meta["seed"] == "7"

@@ -155,3 +155,22 @@ def test_smc_sharded_cluster(cluster_model):
     assert np.isfinite(xs).all()
     assert abs(xs[:, 0].mean() - TRUTH[0]) < 0.1
     assert np.isfinite(float(info["log_evidence"]))
+
+
+def test_nuts_sharded_runs_and_recovers(cluster_model):
+    from base_tpu.inference.nuts import NUTSConfig
+
+    mesh = make_mesh(n_chain_shards=4, n_star_shards=2)
+    tr = post.default_transform(cluster_model)
+    z0 = tr.inverse(jnp.asarray(TRUTH))
+    init = jnp.tile(z0[None, :], (8, 1))
+    init = init + 0.01 * jax.random.normal(jax.random.PRNGKey(18), init.shape)
+    cfg = NUTSConfig(n_warmup=60, n_samples=60, max_depth=5, n_windows=2)
+    zs, info = prun.run_nuts_sharded(
+        cluster_model, tr, init, jax.random.PRNGKey(19), cfg, mesh
+    )
+    assert zs.shape == (60, 8, 9)
+    assert float(info["accept_prob"]) > 0.3
+    assert float(info["mean_leapfrogs"]) > 1.0
+    xs = np.asarray(jax.vmap(jax.vmap(tr.forward))(zs))
+    assert abs(xs[:, :, 0].mean() - TRUTH[0]) < 0.1
