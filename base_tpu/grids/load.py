@@ -123,6 +123,18 @@ def load_wd_cooling(settings: Settings) -> wdc.WdCoolingGrid:
 
 
 def load_wd_atmosphere(settings: Settings) -> wda.WdAtmosphereGrid:
+    path = _npz_path(settings.files.modelDirectory, "bergeron")
+    if path:
+        import jax.numpy as jnp
+
+        z = np.load(path, allow_pickle=False)
+        return wda.WdAtmosphereGrid(
+            log_teff=jnp.asarray(z["log_teff"]),
+            log_g=jnp.asarray(z["log_g"]),
+            mags=jnp.asarray(z["mags"]),
+            bands=tuple(str(b) for b in z["bands"]),
+            name="bergeron",
+        )
     return wda.synthetic_bergeron(bands=tuple(settings.models.bands))
 
 

@@ -475,6 +475,25 @@ def cmd_make_cmd(args) -> None:
     print(f"make-cmd: {valid.sum()} EEPs -> {out}")
 
 
+def cmd_convert_models(args) -> None:
+    """Pack upstream-format text grids into the .npz containers load.py
+    serves (ingestion pipeline for the separately-distributed model data,
+    SURVEY.md L0/§7 step 0)."""
+    from base_tpu.grids.parse import convert_model_directory
+
+    s = _settings(args)
+    src = args.src or s.files.modelDirectory
+    dst = args.dst or s.files.modelDirectory
+    if not src or not dst:
+        raise SystemExit("convert-models: pass --src <textdir> --dst "
+                         "<npzdir> (or set modelDirectory)")
+    written = convert_model_directory(src, dst)
+    for w in written:
+        print(f"convert-models: wrote {w}")
+    if not written:
+        print("convert-models: no recognized grid files found")
+
+
 TOOLS = {
     "simulate": cmd_simulate,
     "scatter": cmd_scatter,
@@ -483,6 +502,7 @@ TOOLS = {
     "sample-mass": cmd_sample_mass,
     "sample-wd-mass": cmd_sample_wd_mass,
     "make-cmd": cmd_make_cmd,
+    "convert-models": cmd_convert_models,
 }
 
 
@@ -492,6 +512,11 @@ def main(argv=None) -> None:
     for name in TOOLS:
         p = sub.add_parser(name)
         _common(p)
+        if name == "convert-models":
+            p.add_argument("--src", default=None,
+                           help="directory of upstream-format text grids")
+            p.add_argument("--dst", default=None,
+                           help="output directory for packed .npz grids")
     args = parser.parse_args(argv)
     TOOLS[args.tool](args)
 
