@@ -38,6 +38,22 @@ FILTERS: dict[str, tuple[float, float]] = {
     "J_2M": (1235.0, 0.282),
     "H_2M": (1662.0, 0.175),
     "Ks_2M": (2159.0, 0.112),
+    # HST ACS/WFC [SURVEY.md C13 lists HST/ACS among the reference sets]
+    "F435W": (432.0, 1.339),
+    "F475W": (474.0, 1.212),
+    "F555W": (536.0, 1.053),
+    "F606W": (592.0, 0.939),
+    "F625W": (632.0, 0.875),
+    "F775W": (769.0, 0.648),
+    "F814W": (806.0, 0.599),
+    # HST WFPC2 / UVIS-era names used in cluster photometry
+    "F336W": (334.0, 1.649),
+    "F439W": (431.0, 1.342),
+    "F547M": (548.0, 1.022),
+    # Gaia DR-style broad bands
+    "G": (622.0, 0.861),
+    "G_BP": (511.0, 1.083),
+    "G_RP": (777.0, 0.634),
 }
 
 DEFAULT_BANDS = ("U", "B", "V", "R", "I", "J", "H", "K")
