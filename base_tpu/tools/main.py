@@ -38,6 +38,14 @@ def _common(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--outputFileBase", default=None)
     parser.add_argument("--modelDirectory", default=None)
     parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="dump a jax.profiler (xplane) trace of the run to DIR",
+    )
+    parser.add_argument(
+        "--metrics", default=None, metavar="FILE.jsonl",
+        help="append structured throughput metrics to FILE.jsonl",
+    )
 
 
 def _settings(args) -> Settings:
@@ -185,12 +193,15 @@ def cmd_single_pop(args) -> None:
     from base_tpu.inference.mh import MHConfig, run_adaptive_mh
     from base_tpu.model import posterior as post
 
+    import time
+
     s = _settings(args)
     table = photio.read_phot(s.files.photFile)
     model = _build_model_from_phot(s, table)
     key = jax.random.PRNGKey(s.mcmc.seed)
     start = s.cluster.start_vector()
     n_chains = s.mcmc.chains
+    t_sample0 = time.perf_counter()
 
     if s.mcmc.sampler in ("hmc", "nuts", "smc", "vi"):
         tr = post.default_transform(model)
@@ -301,9 +312,25 @@ def cmd_single_pop(args) -> None:
         lps = jnp.swapaxes(info["logposts"], 0, 1)       # [N, C]
         accept = float(np.mean(np.asarray(info["accept_rate"])))
 
+    wall = time.perf_counter() - t_sample0
     out = s.files.outputFileBase + ".res"
     resio.write_res(out, np.asarray(xs), np.asarray(lps).reshape(xs.shape[0], -1))
     summ = diag.summarize(jnp.asarray(xs), C.PARAM_NAMES)
+    if args.metrics:
+        from base_tpu.utils.metrics import MetricsLogger
+
+        n_evals = xs.shape[0] * xs.shape[1] * (
+            s.mcmc.lMax if s.mcmc.sampler == "hmc" else 1
+        )
+        mlog = MetricsLogger(args.metrics)
+        mlog.throughput(
+            "single-pop", n_samples=xs.shape[0] * xs.shape[1],
+            n_evals=n_evals, seconds=wall, sampler=s.mcmc.sampler,
+            accept=accept, ess_age=float(summ["ess"][0]),
+            rhat_age=float(summ["rhat"][0]), stars=int(table.n_stars),
+            chains=n_chains,
+        )
+        mlog.close()
     print(f"single-pop ({s.mcmc.sampler}): {xs.shape[0]}x{xs.shape[1]} samples -> {out}")
     print(f"  accept={accept:.3f}")
     for i, name in enumerate(C.PARAM_NAMES[:6]):
@@ -518,7 +545,10 @@ def main(argv=None) -> None:
             p.add_argument("--dst", default=None,
                            help="output directory for packed .npz grids")
     args = parser.parse_args(argv)
-    TOOLS[args.tool](args)
+    from base_tpu.utils.metrics import profile_trace
+
+    with profile_trace(args.profile):
+        TOOLS[args.tool](args)
 
 
 if __name__ == "__main__":
