@@ -46,6 +46,7 @@ class HMCConfig:
     init_step: float = 0.05
     n_windows: int = 4           # mass-matrix re-estimation points
     jitter_traj: bool = True     # random trajectory lengths (0.5-1) * l_max
+    dense_mass: bool = False     # full [P,P] mass matrix (pooled covariance)
 
 
 class DAState(NamedTuple):
@@ -81,6 +82,37 @@ def da_update(s: DAState, accept_prob: Array, target: float) -> DAState:
     return DAState(log_eps, log_eps_avg, h_avg, s.mu, count)
 
 
+# --- Mass-matrix helpers ------------------------------------------------------
+# `inv_mass` is the (estimated) posterior covariance Sigma = M^{-1}: a [P]
+# vector (diagonal metric) or a [P,P] matrix (dense metric).  The branch on
+# ndim is static at trace time, so both paths compile to straight-line HLO.
+
+
+def _mass_matvec(inv_mass: Array, p: Array) -> Array:
+    """Sigma @ p (the leapfrog drift velocity)."""
+    if inv_mass.ndim == 1:
+        return inv_mass * p
+    return inv_mass @ p
+
+
+def _kinetic(inv_mass: Array, p: Array) -> Array:
+    """K(p) = 0.5 p^T Sigma p (momentum p ~ N(0, Sigma^{-1}))."""
+    return 0.5 * jnp.dot(p, _mass_matvec(inv_mass, p))
+
+
+def _sample_momentum(key: Array, inv_mass: Array, n: int) -> Array:
+    """Draw p ~ N(0, M) with M = Sigma^{-1}.
+
+    Dense: Sigma = L L^T  =>  M = L^{-T} L^{-1}, so p = L^{-T} xi has
+    Var(p) = M.  P is tiny (9), so the per-transition Cholesky is noise
+    next to the likelihood evaluation."""
+    xi = jax.random.normal(key, (n,))
+    if inv_mass.ndim == 1:
+        return xi / jnp.sqrt(inv_mass)
+    chol = jnp.linalg.cholesky(inv_mass)
+    return jax.scipy.linalg.solve_triangular(chol.T, xi, lower=False)
+
+
 class HMCChainState(NamedTuple):
     z: Array         # [P] unconstrained position
     logpost: Array
@@ -101,7 +133,7 @@ def _leapfrog(logpost_and_grad, z, p, grad, eps, inv_mass, n_steps, l_max):
     def step(carry, _):
         z, p, grad = carry
         p_half = p + 0.5 * eps * grad
-        z_new = z + eps * inv_mass * p_half
+        z_new = z + eps * _mass_matvec(inv_mass, p_half)
         lp, g = logpost_and_grad(z_new)
         p_new = p_half + 0.5 * eps * g
         return (z_new, p_new, g), (z_new, p_new, lp, g)
@@ -121,8 +153,8 @@ def hmc_transition(
     """One HMC proposal + MH correction.  Returns (state, accept_prob)."""
     key, k_mom, k_len, k_acc = jax.random.split(state.key, 4)
     P = state.z.shape[0]
-    # momentum ~ N(0, M), M = 1/inv_mass (diagonal)
-    p0 = jax.random.normal(k_mom, (P,)) / jnp.sqrt(inv_mass)
+    # momentum ~ N(0, M), M = Sigma^{-1} (diagonal or dense)
+    p0 = _sample_momentum(k_mom, inv_mass, P)
     if cfg.jitter_traj:
         u = jax.random.uniform(k_len, (), minval=0.5, maxval=1.0)
         n_steps = jnp.ceil(u * cfg.l_max).astype(jnp.int32)
@@ -133,8 +165,8 @@ def hmc_transition(
         logpost_and_grad, state.z, p0, state.grad, eps, inv_mass,
         n_steps, cfg.l_max,
     )
-    ke0 = 0.5 * jnp.sum(p0 * p0 * inv_mass)
-    ke1 = 0.5 * jnp.sum(p1 * p1 * inv_mass)
+    ke0 = _kinetic(inv_mass, p0)
+    ke1 = _kinetic(inv_mass, p1)
     log_ratio = (lp1 - ke1) - (state.logpost - ke0)
     log_ratio = jnp.where(jnp.isfinite(log_ratio), log_ratio, -jnp.inf)
     accept_prob = jnp.minimum(1.0, jnp.exp(jnp.minimum(log_ratio, 0.0)))
@@ -167,6 +199,28 @@ def _pooled_mean_var(zs: Array, axis_name: str | None):
     return mean, var
 
 
+def _pooled_cov(zs: Array, axis_name: str | None) -> Array:
+    """Full covariance of zs [..., P] pooled over all leading axes (and the
+    device axis when axis_name is set) — one [P,P] psum, tiny on ICI."""
+    P = zs.shape[-1]
+    flat = zs.reshape(-1, P)
+    n = jnp.asarray(flat.shape[0], jnp.float32)
+    s1 = jnp.sum(flat, axis=0)
+    s2 = flat.T @ flat
+    if axis_name is not None:
+        n = jax.lax.psum(n, axis_name)
+        s1 = jax.lax.psum(s1, axis_name)
+        s2 = jax.lax.psum(s2, axis_name)
+    mean = s1 / n
+    cov = s2 / n - jnp.outer(mean, mean)
+    # Stan-style shrinkage toward a scaled identity keeps the metric
+    # well-conditioned in early windows (pooled n is large, so the data
+    # term dominates quickly).
+    w = n / (n + 5.0)
+    reg = 1e-3 * (5.0 / (n + 5.0)) + 1e-8
+    return w * cov + reg * jnp.eye(P)
+
+
 def init_chains(
     logpost_fn: Callable, init_z: Array, key: Array, cfg: HMCConfig
 ) -> HMCChainState:
@@ -194,7 +248,7 @@ def warmup(
     mass estimation between windows.  Returns (states, inv_mass, eps)."""
     P = states.z.shape[-1]
     vgrad = jax.value_and_grad(logpost_fn)
-    inv_mass = jnp.ones((P,))
+    inv_mass = jnp.eye(P) if cfg.dense_mass else jnp.ones((P,))
 
     def warmup_segment(states, inv_mass, n_iters):
         def one_chain(st):
@@ -213,10 +267,13 @@ def warmup(
     for w in range(cfg.n_windows):
         states, zs = warmup_segment(states, inv_mass, seg_len)
         if w >= 1:
-            # Pooled cross-chain variance -> diagonal mass matrix
-            # (inv_mass = Sigma ~ posterior covariance diagonal).
-            _, var = _pooled_mean_var(zs, axis_name)
-            inv_mass = var + 1e-6
+            # Pooled cross-chain (co)variance -> mass matrix
+            # (inv_mass = Sigma ~ posterior covariance).
+            if cfg.dense_mass:
+                inv_mass = _pooled_cov(zs, axis_name)
+            else:
+                _, var = _pooled_mean_var(zs, axis_name)
+                inv_mass = var + 1e-6
 
     # Freeze step size at the cross-chain mean of the DA average (a mean,
     # not a median, so it pools exactly across shards with one psum).

@@ -113,6 +113,7 @@ class McmcSettings:
     warmup: int = 500
     lMax: int = 24
     targetAccept: float = 0.8
+    denseMass: bool = True           # full-covariance HMC metric
     # quadrature
     nMassRatio: int = 16
     noBinaries: bool = False

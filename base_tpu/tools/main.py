@@ -274,6 +274,7 @@ def cmd_single_pop(args) -> None:
                 n_samples=s.mcmc.runIter // n_chains,
                 thin=s.mcmc.thin, l_max=s.mcmc.lMax,
                 target_accept=s.mcmc.targetAccept,
+                dense_mass=s.mcmc.denseMass,
             )
             zs, info = jax.jit(lambda z, k: run_hmc(fz, z, k, cfg))(
                 init, jax.random.fold_in(key, 1)

@@ -66,6 +66,34 @@ def test_hmc_gaussian_moments():
     assert im[1] > im[0]
 
 
+def test_hmc_dense_mass_correlated_gaussian():
+    """Dense metric recovers a strongly correlated Gaussian's covariance."""
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(4, 4)).astype(np.float32)
+    cov = a @ a.T + 0.1 * np.eye(4, dtype=np.float32)
+    icov = jnp.asarray(np.linalg.inv(cov))
+
+    def logpost(z):
+        return -0.5 * z @ icov @ z
+
+    cfg = hmc.HMCConfig(
+        n_warmup=400, n_samples=400, l_max=12, dense_mass=True
+    )
+    init = jax.random.normal(jax.random.PRNGKey(5), (8, 4))
+    samples, info = jax.jit(
+        lambda z, k: hmc.run_hmc(logpost, z, k, cfg)
+    )(init, jax.random.PRNGKey(6))
+    assert float(info["accept_prob"]) > 0.6
+    im = np.asarray(info["inv_mass"])
+    assert im.shape == (4, 4)
+    emp = np.cov(np.asarray(samples).reshape(-1, 4).T)
+    rel = np.abs(emp - cov).max() / np.abs(cov).max()
+    assert rel < 0.25, rel
+    # The adapted metric itself should approximate the target covariance.
+    mrel = np.abs(im - cov).max() / np.abs(cov).max()
+    assert mrel < 0.35, mrel
+
+
 @pytest.fixture(scope="module")
 def cluster_model(small_grid):
     cat = simulate_cluster(
