@@ -100,16 +100,26 @@ def _kinetic(inv_mass: Array, p: Array) -> Array:
     return 0.5 * jnp.dot(p, _mass_matvec(inv_mass, p))
 
 
-def _sample_momentum(key: Array, inv_mass: Array, n: int) -> Array:
-    """Draw p ~ N(0, M) with M = Sigma^{-1}.
+def _metric_chol(inv_mass: Array) -> Array:
+    """Factor of the metric: sqrt(Sigma) (diag) or cholesky(Sigma) (dense).
+
+    Computed ONCE when the metric is (re)estimated or frozen and passed
+    into the transition, so the factorization stays out of the
+    per-transition scan body (it is loop-invariant between mass
+    re-estimations)."""
+    if inv_mass.ndim == 1:
+        return jnp.sqrt(inv_mass)
+    return jnp.linalg.cholesky(inv_mass)
+
+
+def _sample_momentum(key: Array, chol: Array, n: int) -> Array:
+    """Draw p ~ N(0, M) with M = Sigma^{-1}, given chol = factor(Sigma).
 
     Dense: Sigma = L L^T  =>  M = L^{-T} L^{-1}, so p = L^{-T} xi has
-    Var(p) = M.  P is tiny (9), so the per-transition Cholesky is noise
-    next to the likelihood evaluation."""
+    Var(p) = M."""
     xi = jax.random.normal(key, (n,))
-    if inv_mass.ndim == 1:
-        return xi / jnp.sqrt(inv_mass)
-    chol = jnp.linalg.cholesky(inv_mass)
+    if chol.ndim == 1:
+        return xi / chol
     return jax.scipy.linalg.solve_triangular(chol.T, xi, lower=False)
 
 
@@ -149,12 +159,18 @@ def hmc_transition(
     eps: Array,
     inv_mass: Array,
     cfg: HMCConfig,
+    chol: Array | None = None,
 ) -> tuple[HMCChainState, Array]:
-    """One HMC proposal + MH correction.  Returns (state, accept_prob)."""
+    """One HMC proposal + MH correction.  Returns (state, accept_prob).
+
+    `chol` is the precomputed factor of inv_mass (see _metric_chol);
+    passing it keeps the factorization out of scan bodies."""
     key, k_mom, k_len, k_acc = jax.random.split(state.key, 4)
     P = state.z.shape[0]
+    if chol is None:
+        chol = _metric_chol(inv_mass)
     # momentum ~ N(0, M), M = Sigma^{-1} (diagonal or dense)
-    p0 = _sample_momentum(k_mom, inv_mass, P)
+    p0 = _sample_momentum(k_mom, chol, P)
     if cfg.jitter_traj:
         u = jax.random.uniform(k_len, (), minval=0.5, maxval=1.0)
         n_steps = jnp.ceil(u * cfg.l_max).astype(jnp.int32)
@@ -201,23 +217,35 @@ def _pooled_mean_var(zs: Array, axis_name: str | None):
 
 def _pooled_cov(zs: Array, axis_name: str | None) -> Array:
     """Full covariance of zs [..., P] pooled over all leading axes (and the
-    device axis when axis_name is set) — one [P,P] psum, tiny on ICI."""
+    device axis when axis_name is set).
+
+    Centered two-pass form: the mean is pooled first (one [P] psum), then
+    the second moment is accumulated on CENTERED samples (one [P,P] psum).
+    The one-pass E[xx^T] - mu mu^T form cancels catastrophically in
+    float32 for parameters with large mean and small posterior std
+    (|mu| ~ 10, sd ~ 1e-3 loses all variance bits and can leave the
+    matrix indefinite, silently NaN-ing the Cholesky); centering keeps
+    every accumulated quantity O(sd)."""
     P = zs.shape[-1]
     flat = zs.reshape(-1, P)
     n = jnp.asarray(flat.shape[0], jnp.float32)
     s1 = jnp.sum(flat, axis=0)
-    s2 = flat.T @ flat
     if axis_name is not None:
         n = jax.lax.psum(n, axis_name)
         s1 = jax.lax.psum(s1, axis_name)
-        s2 = jax.lax.psum(s2, axis_name)
     mean = s1 / n
-    cov = s2 / n - jnp.outer(mean, mean)
+    c = flat - mean[None, :]
+    s2 = c.T @ c
+    if axis_name is not None:
+        s2 = jax.lax.psum(s2, axis_name)
+    cov = s2 / n
+    cov = 0.5 * (cov + cov.T)
     # Stan-style shrinkage toward a scaled identity keeps the metric
-    # well-conditioned in early windows (pooled n is large, so the data
-    # term dominates quickly).
+    # well-conditioned in early windows; the ridge is scaled to the mean
+    # variance (trace/P) so it is meaningful at any parameter scale.
+    scale = jnp.trace(cov) / P
     w = n / (n + 5.0)
-    reg = 1e-3 * (5.0 / (n + 5.0)) + 1e-8
+    reg = (1e-3 * (5.0 / (n + 5.0)) + 1e-7) * jnp.maximum(scale, 1e-12)
     return w * cov + reg * jnp.eye(P)
 
 
@@ -251,10 +279,13 @@ def warmup(
     inv_mass = jnp.eye(P) if cfg.dense_mass else jnp.ones((P,))
 
     def warmup_segment(states, inv_mass, n_iters):
+        chol = _metric_chol(inv_mass)  # once per window, not per step
+
         def one_chain(st):
             def body(st, _):
                 eps = jnp.exp(st.da.log_eps)
-                st2, ap = hmc_transition(vgrad, st, eps, inv_mass, cfg)
+                st2, ap = hmc_transition(vgrad, st, eps, inv_mass, cfg,
+                                         chol=chol)
                 st2 = st2._replace(da=da_update(st2.da, ap, cfg.target_accept))
                 return st2, st2.z
 
@@ -294,11 +325,13 @@ def sample_chunk(
     """Record `n_record` thinned samples from every chain.
     Returns (states, zs [C, n, P], lps [C, n], accept [C, n])."""
     vgrad = jax.value_and_grad(logpost_fn)
+    chol = _metric_chol(inv_mass)  # frozen metric: factor once
 
     def one_chain(st):
         def body(st, _):
             def inner(s, _):
-                s2, ap = hmc_transition(vgrad, s, eps, inv_mass, cfg)
+                s2, ap = hmc_transition(vgrad, s, eps, inv_mass, cfg,
+                                        chol=chol)
                 return s2, ap
 
             st, aps = jax.lax.scan(inner, st, None, length=cfg.thin)

@@ -113,7 +113,10 @@ class McmcSettings:
     warmup: int = 500
     lMax: int = 24
     targetAccept: float = 0.8
-    denseMass: bool = True           # full-covariance HMC metric
+    # Full-covariance HMC metric.  Off by default until the dense path is
+    # validated on real-TPU production runs; sampler=nuts uses a diagonal
+    # metric regardless (run_nuts has no dense-mass mode yet).
+    denseMass: bool = False
     # quadrature
     nMassRatio: int = 16
     noBinaries: bool = False

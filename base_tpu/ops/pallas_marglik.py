@@ -51,6 +51,11 @@ _FLAT_EPS = 3e-7
 
 MAX_S_TILE = 256
 MAX_T_TILE = 512
+# The backward tile holds ~3x the live temporaries of the forward (three
+# jvp evaluations of the tile formula): a 512-wide T tile overflows the
+# 16 MB scoped-VMEM stack on v5e at S_TILE=104, so bwd tiles are capped
+# at 256.
+MAX_T_TILE_BWD = 256
 
 
 def _round_up(x: int, m: int) -> int:
@@ -221,9 +226,9 @@ def _pad_to(x, n, axis, value=0.0):
     return jnp.pad(x, widths, constant_values=value)
 
 
-def _tiles(S: int, T: int):
+def _tiles(S: int, T: int, bwd: bool = False):
     s_tile = min(MAX_S_TILE, _round_up(S, 8))
-    t_tile = min(MAX_T_TILE, _round_up(T, 128))
+    t_tile = min(MAX_T_TILE_BWD if bwd else MAX_T_TILE, _round_up(T, 128))
     return s_tile, t_tile
 
 
@@ -284,7 +289,7 @@ def _bwd_rule(interpret, residuals, g):
     obs, inv_var, log_norm, lo, hi, logw, maskf, out = residuals
     S, B = obs.shape
     T = lo.shape[0]
-    S_TILE, T_TILE = _tiles(S, T)
+    S_TILE, T_TILE = _tiles(S, T, bwd=True)
     Sp = _round_up(S, S_TILE)
     Tp = _round_up(T, T_TILE)
 

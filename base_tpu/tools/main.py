@@ -212,6 +212,11 @@ def cmd_single_pop(args) -> None:
         if s.mcmc.sampler == "nuts":
             from base_tpu.inference.nuts import NUTSConfig, run_nuts
 
+            if s.mcmc.denseMass:
+                print(
+                    "single-pop: sampler=nuts uses a diagonal metric; "
+                    "mcmc.denseMass is ignored", file=sys.stderr,
+                )
             ncfg = NUTSConfig(
                 n_warmup=s.mcmc.warmup,
                 n_samples=s.mcmc.runIter // n_chains,
@@ -448,6 +453,7 @@ def cmd_multi_pop(args) -> None:
         n_warmup=s.mcmc.warmup, n_samples=s.mcmc.runIter // n_chains,
         thin=s.mcmc.thin, l_max=s.mcmc.lMax,
         target_accept=s.mcmc.targetAccept,
+        dense_mass=s.mcmc.denseMass,
     )
     zs, info = jax.jit(lambda z, k: run_hmc(fz, z, k, cfg))(
         init, jax.random.fold_in(key, 1)

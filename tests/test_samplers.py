@@ -151,3 +151,24 @@ def test_hmc_truth_recovery(cluster_model):
         est = xs[:, p].mean()
         sd = xs[:, p].std() + 1e-4
         assert abs(est - TRUTH[p]) < max(4 * sd, tol), (p, est, sd)
+
+
+def test_pooled_cov_large_mean_small_std():
+    """Regression (ADVICE r1 high): centered two-pass covariance must stay
+    positive-definite for parameters with large mean and tiny posterior
+    std (distMod ~ 10, sd ~ 2e-3 used to go indefinite via one-pass
+    float32 cancellation, silently NaN-ing the Cholesky)."""
+    key = jax.random.PRNGKey(0)
+    n = 800
+    mean = jnp.asarray([10.0, -0.5, 9.3], jnp.float32)
+    sd = jnp.asarray([0.002, 0.001, 0.003], jnp.float32)
+    zs = mean + sd * jax.random.normal(key, (n, 3))
+    cov = hmc._pooled_cov(zs[:, None, :], None)
+    eigs = np.linalg.eigvalsh(np.asarray(cov))
+    assert np.all(eigs > 0), eigs
+    chol = np.asarray(hmc._metric_chol(cov))
+    assert np.all(np.isfinite(chol))
+    # and the estimate is close to the true (co)variance, not ridge-dominated
+    np.testing.assert_allclose(
+        np.sqrt(np.diag(np.asarray(cov))), np.asarray(sd), rtol=0.25
+    )
