@@ -129,6 +129,20 @@ def derive_isochrone(grid: IsochroneGrid, feh, y, age) -> Isochrone:
     )
 
 
+def select_grid_bands(grid: IsochroneGrid, band_idx, bands) -> IsochroneGrid:
+    """Restrict the grid to a band subset (dynamic filter selection).
+
+    The reference's active filter set is the intersection of the .phot
+    header and the model grid's bands [upstream: base9/Filters —
+    SURVEY.md C13]; this is the grid side of that slice.
+    """
+    return dataclasses.replace(
+        grid,
+        mags=grid.mags[..., jnp.asarray(band_idx)],
+        bands=tuple(bands),
+    )
+
+
 def upsample_isochrone(iso: Isochrone, factor: int) -> Isochrone:
     """Insert `factor - 1` linearly-interpolated nodes per EEP segment.
 

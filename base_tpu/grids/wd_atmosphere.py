@@ -44,6 +44,16 @@ def wd_mags(grid: WdAtmosphereGrid, log_teff, log_g, wd_type: int):
     )
 
 
+def select_atm_bands(grid: WdAtmosphereGrid, band_idx, bands) -> WdAtmosphereGrid:
+    """Restrict the atmosphere table to a band subset (the WD side of the
+    dynamic filter-set intersection, SURVEY.md C13)."""
+    return dataclasses.replace(
+        grid,
+        mags=grid.mags[..., jnp.asarray(band_idx)],
+        bands=tuple(bands),
+    )
+
+
 def synthetic_bergeron(
     bands=filt.DEFAULT_BANDS, n_teff: int = 30, n_logg: int = 12
 ) -> WdAtmosphereGrid:

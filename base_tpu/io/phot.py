@@ -50,6 +50,16 @@ class PhotTable:
             use_dbi=self.use_dbi[idx],
         )
 
+    def select_bands(self, band_idx: np.ndarray, bands) -> "PhotTable":
+        """Column subset: keep the bands at `band_idx` (the phot side of
+        the dynamic filter-set intersection, SURVEY.md C13)."""
+        return dataclasses.replace(
+            self,
+            bands=tuple(bands),
+            mags=self.mags[:, band_idx],
+            sigmas=self.sigmas[:, band_idx],
+        )
+
 
 TRAILING = ("mass1", "massRatio", "stage", "Cmprior", "useDBI")
 

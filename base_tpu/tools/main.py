@@ -151,6 +151,34 @@ def cmd_scatter(args) -> None:
     print(f"scatter: wrote {table.n_stars} stars -> {out}")
 
 
+def _active_bands(table, ms_grid, wd_atm=None):
+    """Dynamic filter selection: active set = .phot header ∩ model bands
+    (∩ atmosphere bands when WDs are present) [upstream: base9/Filters —
+    SURVEY.md C13].  Returns (phot table, ms grid, wd atm) all sliced to
+    the active set; errors clearly on an empty intersection."""
+    from base_tpu.grids import filters as filt
+    from base_tpu.grids.isochrone import select_grid_bands
+    from base_tpu.grids.wd_atmosphere import select_atm_bands
+
+    active, phot_idx, ms_idx = filt.intersect_bands(table.bands, ms_grid.bands)
+    if wd_atm is not None:
+        active, sub_idx, atm_idx = filt.intersect_bands(active, wd_atm.bands)
+        phot_idx, ms_idx = phot_idx[sub_idx], ms_idx[sub_idx]
+    if not active:
+        raise SystemExit(
+            f"no overlapping filters: photometry has {list(table.bands)}, "
+            f"model grid '{ms_grid.name}' has {list(ms_grid.bands)}"
+            + (f", WD atmospheres have {list(wd_atm.bands)}" if wd_atm else "")
+        )
+    if tuple(active) != tuple(table.bands):
+        table = table.select_bands(phot_idx, active)
+    if tuple(active) != tuple(ms_grid.bands):
+        ms_grid = select_grid_bands(ms_grid, ms_idx, active)
+    if wd_atm is not None and tuple(active) != tuple(wd_atm.bands):
+        wd_atm = select_atm_bands(wd_atm, atm_idx, active)
+    return table, ms_grid, wd_atm
+
+
 def _build_model_from_phot(s: Settings, table: photio.PhotTable):
     from base_tpu.grids.load import make_model
     from base_tpu.model import posterior as post
@@ -159,6 +187,13 @@ def _build_model_from_phot(s: Settings, table: photio.PhotTable):
     bundle = make_model(s)
     stage = table.stage
     is_wd = stage == C.StarStatus.WD
+    has_wd = bool(is_wd.any())
+    table, ms_grid, wd_atm = _active_bands(
+        table, bundle.ms, bundle.wd_atm if has_wd else None
+    )
+    bundle = bundle._replace(
+        ms=ms_grid, wd_atm=wd_atm if has_wd else bundle.wd_atm
+    )
     usable = (stage == C.StarStatus.MSRG) | is_wd
     ms_rows = table.select(usable & ~is_wd)
     wd_rows = table.select(is_wd)
