@@ -37,6 +37,7 @@ class MSMassSamples(NamedTuple):
     mass1: Array       # [D, S] primary ZAMS mass draws
     mass_ratio: Array  # [D, S]
     log_marg: Array    # [D, S] per-star log marginal (diagnostic)
+    p_member: Array    # [D, S] posterior P(cluster member | theta, data)
 
 
 class WDMassSamples(NamedTuple):
@@ -45,6 +46,18 @@ class WDMassSamples(NamedTuple):
     log_cool_age: Array  # [D, S]
     is_db: Array       # [D, S] sampled atmosphere type
     log_marg: Array    # [D, S]
+    p_member: Array    # [D, S] posterior P(cluster member | theta, data)
+
+
+def membership_posterior(stars, log_marg: Array) -> Array:
+    """p(member | theta, data) per star from the already-computed mixture
+    terms [BASELINE.json:8 per-star membership]: the density is
+    CMprior*L_cluster + (1-CMprior)*L_field, so the membership posterior
+    is one sigmoid of the log-odds — no extra likelihood evaluation."""
+    log_odds = (stars.log_cm + log_marg) - (
+        stars.log_1m_cm + stars.field_logdens
+    )
+    return jax.nn.sigmoid(log_odds)
 
 
 def _one_draw_ms(model: SinglePopModel, params: Array, key) -> MSMassSamples:
@@ -94,7 +107,10 @@ def _one_draw_ms(model: SinglePopModel, params: Array, key) -> MSMassSamples:
     m_hi = iso.mass[e + 1]
     m1 = m_lo + t * (m_hi - m_lo)
     log_marg = lk.ms_star_log_marginals(stars, table)
-    return MSMassSamples(mass1=m1, mass_ratio=q, log_marg=log_marg)
+    return MSMassSamples(
+        mass1=m1, mass_ratio=q, log_marg=log_marg,
+        p_member=membership_posterior(stars, log_marg),
+    )
 
 
 def sample_ms_masses(
@@ -153,6 +169,7 @@ def _one_draw_wd(model: SinglePopModel, params: Array, key) -> WDMassSamples:
     return WDMassSamples(
         zams_mass=zams, wd_mass=m_wd, log_cool_age=log_cool,
         is_db=is_db, log_marg=log_marg,
+        p_member=membership_posterior(stars, log_marg),
     )
 
 

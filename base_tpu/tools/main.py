@@ -396,15 +396,28 @@ def cmd_sample_mass(args) -> None:
     out = cond.sample_ms_masses(
         model, draws, jax.random.PRNGKey(s.mcmc.seed + 2)
     )
+    from base_tpu.io.samples import write_star_samples
+
+    ids = table.select(table.stage == C.StarStatus.MSRG).ids
     path = s.files.outputFileBase + ".massSamples"
-    np.savetxt(
-        path,
-        np.concatenate(
-            [np.asarray(out.mass1), np.asarray(out.mass_ratio)], axis=1
-        ),
-        header="mass1 x S then massRatio x S, one row per posterior draw",
+    write_star_samples(
+        path, ids,
+        {"mass": np.asarray(out.mass1),
+         "massRatio": np.asarray(out.mass_ratio)},
     )
-    print(f"sample-mass: {draws.shape[0]} draws x {out.mass1.shape[1]} stars -> {path}")
+    mpath = s.files.outputFileBase + ".membership"
+    write_star_samples(
+        mpath, ids, {"pMember": np.asarray(out.p_member)}, fmt="%.5f"
+    )
+    print(
+        f"sample-mass: {draws.shape[0]} draws x {out.mass1.shape[1]} stars "
+        f"-> {path} (+ membership -> {mpath})"
+    )
+    pm = np.asarray(out.p_member).mean(0)
+    lo = np.argsort(pm)[: min(5, len(pm))]
+    for i in lo:
+        if pm[i] < 0.5:
+            print(f"  likely field star {ids[i]}: P(member)={pm[i]:.3f}")
 
 
 def cmd_sample_wd_mass(args) -> None:
@@ -425,18 +438,17 @@ def cmd_sample_wd_mass(args) -> None:
     out = cond.sample_wd_masses(
         model, draws, jax.random.PRNGKey(s.mcmc.seed + 3)
     )
+    from base_tpu.io.samples import write_star_samples
+
+    ids = table.select(table.stage == C.StarStatus.WD).ids
     path = s.files.outputFileBase + ".wdMassSamples"
-    np.savetxt(
-        path,
-        np.concatenate(
-            [
-                np.asarray(out.zams_mass),
-                np.asarray(out.wd_mass),
-                np.asarray(out.log_cool_age),
-            ],
-            axis=1,
-        ),
-        header="zamsMass x S, wdMass x S, logCoolAge x S per draw",
+    write_star_samples(
+        path, ids,
+        {"zamsMass": np.asarray(out.zams_mass),
+         "wdMass": np.asarray(out.wd_mass),
+         "logCoolAge": np.asarray(out.log_cool_age),
+         "isDB": np.asarray(out.is_db, np.float32),
+         "pMember": np.asarray(out.p_member)},
     )
     print(
         f"sample-wd-mass: {draws.shape[0]} draws x {out.zams_mass.shape[1]} WDs -> {path}"

@@ -79,9 +79,19 @@ def test_full_workflow(workdir):
     age = chain.params[:, 0]
     assert abs(age.mean() - 9.5) < 0.15
 
-    # sample-mass
+    # sample-mass: per-star layout + membership posterior round-trip
     main(_args(workdir, ["sample-mass"] + base + ["--photFile", phot_file]))
-    assert os.path.exists(str(workdir / "run.massSamples"))
+    from base_tpu.io.samples import read_star_samples
+
+    ids, cols = read_star_samples(str(workdir / "run.massSamples"))
+    n_ms = int((table.stage == 1).sum())
+    assert len(ids) == n_ms
+    assert set(cols) == {"mass", "massRatio"}
+    assert cols["mass"].shape[1] == n_ms
+    mids, mcols = read_star_samples(str(workdir / "run.membership"))
+    assert mids == ids
+    pm = mcols["pMember"]
+    assert ((pm >= 0) & (pm <= 1)).all()
 
     # sample-wd-mass (only if the sim produced WDs)
     if (table.stage == 3).any():

@@ -90,3 +90,42 @@ def test_wd_mass_recovery(sim_and_model):
     assert (wdm > 0.2).all() and (wdm < 1.5).all()
     # Cooling ages below cluster age.
     assert (np.asarray(out.log_cool_age) < TRUTH[0]).all()
+
+
+def test_membership_recovery_config2(small_grid):
+    """BASELINE.json:8 scenario: binaries + field contamination; the
+    membership posterior must separate field stars from members."""
+    from base_tpu.sim.simulate import simulate_field_stars
+
+    n_members, n_field = 90, 30
+    cat = simulate_cluster(
+        small_grid, jnp.asarray(TRUTH), n_members, jax.random.PRNGKey(7),
+        percent_binary=0.3,
+    )
+    fmags = simulate_field_stars(jax.random.PRNGKey(8), n_field, cat.mags)
+    mags = jnp.concatenate([cat.mags, fmags])
+    sc = scatter_cluster(mags, jax.random.PRNGKey(9), limit_mag=26.0)
+    # Deliberately ambivalent membership prior: the data must do the work.
+    model = post.make_single_pop_model(
+        small_grid, make_ms_stars(
+            np.asarray(sc.mags), np.asarray(sc.sigmas), cm_prior=0.7
+        ),
+        prior_mean=TRUTH,
+        prior_sigma=np.array([-1, -1, 0.3, 0.2, 0.1, -1, -1, -1, -1],
+                             np.float32),
+        n_q=12, binaries=True,
+    )
+    draws = jnp.tile(jnp.asarray(TRUTH)[None, :], (16, 1))
+    out = jax.jit(
+        lambda d, k: cond.sample_ms_masses(model, d, k)
+    )(draws, jax.random.PRNGKey(10))
+    pm = np.asarray(out.p_member).mean(0)       # [S]
+    assert pm.shape == (n_members + n_field,)
+    assert np.isfinite(pm).all() and (pm >= 0).all() and (pm <= 1).all()
+    members, field = pm[:n_members], pm[n_members:]
+    # Members sit on the isochrone -> high membership.
+    assert np.median(members) > 0.95, np.median(members)
+    assert np.mean(members > 0.5) > 0.9
+    # Field stars are uniform in the CMD box -> mostly far off-sequence.
+    assert np.median(field) < 0.2, np.median(field)
+    assert np.mean(field < 0.5) > 0.7
