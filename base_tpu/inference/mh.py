@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from jax import Array
 
 from base_tpu.ops.special import NEG_INF
+from base_tpu.utils.vma import vma_like
 
 
 class MHState(NamedTuple):
@@ -102,7 +103,8 @@ def run_adaptive_mh(
             return (st, acc_n + acc), None
 
         (state, acc_n), _ = jax.lax.scan(
-            body, (state, jnp.zeros(())), None, length=cfg.adapt_every
+            body, (state, vma_like(jnp.zeros(()), state.logpost)), None,
+            length=cfg.adapt_every,
         )
         rate = acc_n / cfg.adapt_every
         # Multiplicative tuning toward the target acceptance rate
@@ -112,7 +114,8 @@ def run_adaptive_mh(
 
     n_blocks = max(cfg.n_stage1 // cfg.adapt_every, 1)
     (state, step), s1_rates = jax.lax.scan(
-        stage1_block, (state, step_init), None, length=n_blocks
+        stage1_block, (state, vma_like(step_init, state.logpost)), None,
+        length=n_blocks,
     )
 
     # ---- stage 2: fixed proposals, collect covariance ----------------------
@@ -155,7 +158,8 @@ def run_adaptive_mh(
             return (st, acc_n + acc), None
 
         (st, acc_n), _ = jax.lax.scan(
-            inner, (st, jnp.zeros(())), None, length=cfg.thin
+            inner, (st, vma_like(jnp.zeros(()), st.logpost)), None,
+            length=cfg.thin,
         )
         return st, (st.position, st.logpost, acc_n)
 

@@ -37,6 +37,7 @@ from base_tpu.inference.hmc import (
     _pooled_mean_var,
 )
 from base_tpu.ops.special import NEG_INF
+from base_tpu.utils.vma import vma_like
 
 
 @dataclasses.dataclass(frozen=True)
@@ -120,18 +121,24 @@ def nuts_transition(
         sum_acc: Array
         n_lf: Array
 
+    def _v(x):
+        # constant-initialized loop carries must enter with their
+        # steady-state vma under shard_map(check_vma=True); no-op
+        # unsharded (see utils/vma.py)
+        return vma_like(x, state.logpost)
+
     carry = Carry(
         key=key,
-        depth=jnp.zeros((), jnp.int32),
+        depth=_v(jnp.zeros((), jnp.int32)),
         prop_z=state.z,
         prop_lp=state.logpost,
         prop_grad=state.grad,
-        logw=jnp.zeros(()),  # weights measured relative to exp(-h0)
+        logw=_v(jnp.zeros(())),  # weights measured relative to exp(-h0)
         left=init_pt,
         right=init_pt,
-        done=jnp.zeros((), bool),
-        sum_acc=jnp.zeros(()),
-        n_lf=jnp.zeros((), jnp.int32),
+        done=_v(jnp.zeros((), bool)),
+        sum_acc=_v(jnp.zeros(())),
+        n_lf=_v(jnp.zeros((), jnp.int32)),
     )
 
     def build_subtree(key, frontier: _Point, direction, n_leaves):
@@ -157,17 +164,17 @@ def nuts_transition(
 
         sc = SC(
             key=key,
-            i=jnp.zeros((), jnp.int32),
+            i=_v(jnp.zeros((), jnp.int32)),
             pt=frontier,
             prop_z=frontier.z,
             prop_lp=frontier.lp,
             prop_grad=frontier.grad,
-            logw=jnp.asarray(-jnp.inf),
-            ck_z=ck_z,
-            ck_p=ck_p,
-            turning=jnp.zeros((), bool),
-            diverging=jnp.zeros((), bool),
-            sum_acc=jnp.zeros(()),
+            logw=_v(jnp.asarray(-jnp.inf)),
+            ck_z=_v(ck_z),
+            ck_p=_v(ck_p),
+            turning=_v(jnp.zeros((), bool)),
+            diverging=_v(jnp.zeros((), bool)),
+            sum_acc=_v(jnp.zeros(())),
         )
 
         def sc_cond(sc: SC):
@@ -301,7 +308,12 @@ def run_nuts(
     lp0, g0 = jax.vmap(vgrad)(init_z)
     states = NUTSChainState(
         z=init_z, logpost=lp0, grad=g0, key=keys,
-        da=jax.vmap(lambda _: da_init(cfg.init_step))(jnp.arange(C)),
+        da=jax.tree_util.tree_map(
+            # constant-initialized DA state must enter the warmup scan
+            # with its steady-state vma (see utils/vma.py); no-op unsharded
+            lambda x: vma_like(x, lp0),
+            jax.vmap(lambda _: da_init(cfg.init_step))(jnp.arange(C)),
+        ),
     )
     inv_mass = jnp.ones((P,))
 

@@ -201,11 +201,16 @@ def run_smc(
     state, (betas, accs, active) = jax.lax.scan(
         stage, state, None, length=cfg.max_stages
     )
+    accept = jnp.mean(accs)
+    if axis_name:
+        # per-shard move acceptance -> pooled global mean (also required
+        # for the replicated out_spec under check_vma)
+        accept = jax.lax.pmean(accept, axis_name)
     info = dict(
         log_evidence=state.log_evidence,
         beta=state.beta,
         n_stages=jnp.sum(active.astype(jnp.int32)),
-        accept=jnp.mean(accs),
+        accept=accept,
         betas=betas,
     )
     return state.z, info

@@ -96,12 +96,10 @@ def make_single_pop_model(
     )
 
 
-def log_post(model: SinglePopModel, params: Array) -> Array:
-    """Un-normalized log posterior of the 9-param cluster vector.
-
-    Out-of-hull (age, Y, FeH) returns NEG_INF — the reference's bounds
-    shortcut [SURVEY.md §3.1]; gradient samplers avoid the cliff by
-    sampling through `default_transform`.
+def log_lik(model: SinglePopModel, params: Array) -> tuple[Array, Array]:
+    """Total per-star log likelihood and the bounds flag, separated from
+    the prior so sharded runners can psum the star-sum across a mesh
+    axis before adding the (replicated) prior.  Returns (ll, in_bounds).
     """
     age = params[C.Param.AGE]
     y = params[C.Param.YYY]
@@ -131,9 +129,19 @@ def log_post(model: SinglePopModel, params: Array) -> Array:
             model.wd_stars, mags, valid, model.mz_grid, mod, av,
             model.abs_coefs, model.p_db,
         )
+    return ll, iso.in_bounds
+
+
+def log_post(model: SinglePopModel, params: Array) -> Array:
+    """Un-normalized log posterior of the 9-param cluster vector.
+
+    Out-of-hull (age, Y, FeH) returns NEG_INF — the reference's bounds
+    shortcut [SURVEY.md §3.1]; gradient samplers avoid the cliff by
+    sampling through `default_transform`.
+    """
+    ll, in_bounds = log_lik(model, params)
     lp = model.priors.log_prior(params)
-    out = ll + lp
-    return jnp.where(iso.in_bounds, out, NEG_INF)
+    return jnp.where(in_bounds, ll + lp, NEG_INF)
 
 
 def default_transform(model: SinglePopModel, margin: float = 1e-3) -> IntervalTransform:

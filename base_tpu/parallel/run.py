@@ -12,7 +12,10 @@ a 2-D-sharded program:
     local block, and warmup adaptation pools across devices with
     psum/pmean inside the sampler itself (hmc.run_hmc axis_name).
 
-Gradients flow through psum (its transpose is psum), so the same
+The density is the FULL single-pop density — WD branch and fused Pallas
+kernel included (it delegates to posterior.log_lik on the local star
+shards), so pod-scale runs carry every physics path the one-chip CLI
+does.  Gradients flow through psum (its transpose is psum), so the same
 machinery serves HMC/NUTS.  Everything here also runs on a 1-device
 mesh, which is how CI exercises the exact collective code paths on 8
 fake CPU devices (SURVEY.md §4.2 item 4).
@@ -30,35 +33,39 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
-from base_tpu import constants as C
-from base_tpu.grids.isochrone import derive_isochrone
-from base_tpu.model import likelihood as lk
+from base_tpu.model import posterior as post_mod
 from base_tpu.model.posterior import SinglePopModel
 from base_tpu.model.stardata import MSStars
 from base_tpu.ops.special import NEG_INF
 from base_tpu.parallel.mesh import CHAIN_AXIS, STAR_AXIS, pad_to_multiple
 
+from base_tpu.inference import driver as driver_mod
 from base_tpu.inference import hmc as hmc_mod
 from base_tpu.inference import mh as mh_mod
 
 
 def shard_stars(model: SinglePopModel, mesh: Mesh) -> SinglePopModel:
-    """Pad the star axis to the star-shard count and place each per-star
-    array with a NamedSharding over the "stars" axis (grid and other
-    model leaves stay replicated)."""
+    """Pad the star axes to the star-shard count and place each per-star
+    array with a NamedSharding over the "stars" axis — MS stars AND WD
+    stars both shard; grids and other model leaves stay replicated."""
     n_star_shards = mesh.shape[STAR_AXIS]
-    stars = model.stars
-    S = stars.n_stars
-    S_pad = pad_to_multiple(S, n_star_shards)
-    if S_pad != S:
-        stars = _repad_stars(stars, S_pad)
 
     def place(x):
         s = NamedSharding(mesh, P(STAR_AXIS))
         return jax.device_put(x, s)
 
-    stars = jax.tree_util.tree_map(place, stars)
-    return dataclasses.replace(model, stars=stars)
+    def prep(stars):
+        if stars is None:
+            return None
+        S = stars.n_stars
+        S_pad = pad_to_multiple(S, n_star_shards)
+        if S_pad != S:
+            stars = _repad_stars(stars, S_pad)
+        return jax.tree_util.tree_map(place, stars)
+
+    return dataclasses.replace(
+        model, stars=prep(model.stars), wd_stars=prep(model.wd_stars)
+    )
 
 
 def _repad_stars(stars: MSStars, pad_to: int) -> MSStars:
@@ -85,34 +92,138 @@ def _repad_stars(stars: MSStars, pad_to: int) -> MSStars:
 
 
 def local_logpost_fn(
-    model: SinglePopModel, stars_local: MSStars, star_axis: str | None
+    model: SinglePopModel,
+    stars_local: MSStars,
+    star_axis: str | None,
+    wd_local: MSStars | None = None,
 ) -> Callable[[Array], Array]:
-    """Per-device log posterior: local star partial + psum over the star
-    axis + (replicated) prior.  Identical on every device after the psum.
+    """Per-device log posterior: local star partial (the FULL density —
+    MS marginal incl. optional Pallas kernel, plus the WD precursor
+    branch when wd_local is present) + psum over the star axis +
+    (replicated) prior.  Identical on every device after the psum.
     """
+    local = dataclasses.replace(model, stars=stars_local, wd_stars=wd_local)
 
     def f(params: Array) -> Array:
-        age = params[C.Param.AGE]
-        y = params[C.Param.YYY]
-        feh = params[C.Param.FEH]
-        mod = params[C.Param.MOD]
-        av = params[C.Param.ABS]
-        iso = derive_isochrone(model.grid, feh, y, age)
-        table = lk.build_segment_table(
-            iso, model.q_grid, mod, av, model.abs_coefs,
-            binaries=model.binaries, uniform_q=model.uniform_q,
-        )
-        ll = lk.ms_total_loglik(stars_local, table)
+        ll, in_bounds = post_mod.log_lik(local, params)
         if star_axis is not None:
             ll = jax.lax.psum(ll, star_axis)
-        lp = model.priors.log_prior(params)
-        return jnp.where(iso.in_bounds, ll + lp, NEG_INF)
+        lp = local.priors.log_prior(params)
+        return jnp.where(in_bounds, ll + lp, NEG_INF)
 
     return f
 
 
-def _star_specs(stars: MSStars):
+def _star_specs(stars):
     return jax.tree_util.tree_map(lambda _: P(STAR_AXIS), stars)
+
+
+def _pvary(x, axis: str):
+    """Mark x device-varying along `axis` iff it is not already.
+
+    With check_vma=True (mandatory here: it is what makes grad-of-psum
+    insert the correct transpose collectives — without it the star-axis
+    psum backprop silently drops every other shard's gradient
+    contribution), scan carries must enter with their steady-state vma.
+    Sampler adaptation state (dual-averaging, proposal covariances)
+    starts replicated but becomes chain-varying after one update, so the
+    initial carry is pcast up front."""
+    vma = getattr(jax.typeof(x), "vma", frozenset())
+    if axis in vma:
+        return x
+    return jax.lax.pcast(x, (axis,), to="varying")
+
+
+def _pvary_tree(tree, axis: str = CHAIN_AXIS):
+    return jax.tree_util.tree_map(lambda x: _pvary(x, axis), tree)
+
+
+def _split_frame(model: SinglePopModel, mesh: Mesh):
+    """shard model -> (frame without stars, sharded MS stars, sharded WD
+    stars or None).  The frame closes over the shard_map'd functions;
+    the star pytrees pass through shard_map args with star-axis specs."""
+    model = shard_stars(model, mesh)
+    frame = dataclasses.replace(model, stars=None, wd_stars=None)
+    return frame, model.stars, model.wd_stars
+
+
+def make_sharded_hmc_fns(
+    model: SinglePopModel,
+    transform,
+    cfg: hmc_mod.HMCConfig,
+    mesh: Mesh,
+    chunk: int,
+):
+    """(warm, step) pair with the driver contract, shard_map'd over the
+    (chains x stars) mesh — the building blocks of both run_hmc_sharded
+    and the checkpointed sharded driver."""
+    frame, stars, wds = _split_frame(model, mesh)
+
+    def make_logpost_z(stars_local, wd_local):
+        base = local_logpost_fn(frame, stars_local, STAR_AXIS, wd_local)
+
+        def logpost_z(z):
+            x = transform.forward(z)
+            return base(x) + transform.log_det_jacobian(z)
+
+        return logpost_z
+
+    def warm_dev(stars_local, wd_local, init_z_local, key):
+        ci = jax.lax.axis_index(CHAIN_AXIS)
+        # All star-shards of one chain block MUST share the same RNG
+        # stream: their psum-ed logpost is identical, and identical keys
+        # keep proposals/accepts in lockstep (no cross-shard divergence).
+        dkey = jax.random.fold_in(key, ci)
+        fz = make_logpost_z(stars_local, wd_local)
+        states = hmc_mod.init_chains(fz, init_z_local, dkey, cfg)
+        states = _pvary_tree(states)
+        return hmc_mod.warmup(fz, states, cfg, axis_name=CHAIN_AXIS)
+
+    def step_dev(stars_local, wd_local, states, inv_mass, eps):
+        fz = make_logpost_z(stars_local, wd_local)
+        return hmc_mod.sample_chunk(fz, states, inv_mass, eps, chunk, cfg)
+
+    state_spec = P(CHAIN_AXIS)
+    warm_fn = shard_map(
+        warm_dev,
+        mesh=mesh,
+        in_specs=(_star_specs(stars), _star_specs(wds),
+                  P(CHAIN_AXIS, None), P()),
+        out_specs=(
+            jax.tree_util.tree_map(lambda _: state_spec,
+                                   _state_structure()),
+            P(), P(),
+        ),
+        check_vma=True,
+    )
+    step_fn = shard_map(
+        step_dev,
+        mesh=mesh,
+        in_specs=(_star_specs(stars), _star_specs(wds),
+                  jax.tree_util.tree_map(lambda _: state_spec,
+                                         _state_structure()),
+                  P(), P()),
+        out_specs=(
+            jax.tree_util.tree_map(lambda _: state_spec,
+                                   _state_structure()),
+            P(CHAIN_AXIS), P(CHAIN_AXIS), P(CHAIN_AXIS),
+        ),
+        check_vma=True,
+    )
+
+    warm = jax.jit(lambda z, k: warm_fn(stars, wds, z, k))
+    step = jax.jit(lambda st, im, eps: step_fn(stars, wds, st, im, eps))
+    return warm, step
+
+
+def _state_structure():
+    """An HMCChainState-shaped pytree of placeholders, used only to build
+    matching PartitionSpec trees (every leaf has leading chain axis)."""
+    zero = 0
+    return hmc_mod.HMCChainState(
+        z=zero, logpost=zero, grad=zero, key=zero,
+        da=hmc_mod.DAState(zero, zero, zero, zero, zero),
+    )
 
 
 def run_hmc_sharded(
@@ -125,39 +236,33 @@ def run_hmc_sharded(
 ):
     """HMC over a (chains x stars) mesh.  Returns (z samples
     [n_rec, C_total, P], info) with device-invariant info scalars."""
-    model = shard_stars(model, mesh)
-    stars = model.stars
-    frame = dataclasses.replace(model, stars=None)
-
-    def device_fn(stars_local, init_z_local, key):
-        ci = jax.lax.axis_index(CHAIN_AXIS)
-        # All star-shards of one chain block MUST share the same RNG
-        # stream: their psum-ed logpost is identical, and identical keys
-        # keep proposals/accepts in lockstep (no cross-shard divergence).
-        dkey = jax.random.fold_in(key, ci)
-        base = local_logpost_fn(frame, stars_local, STAR_AXIS)
-
-        def logpost_z(z):
-            x = transform.forward(z)
-            return base(x) + transform.log_det_jacobian(z)
-
-        samples, info = hmc_mod.run_hmc(
-            logpost_z, init_z_local, dkey, cfg, axis_name=CHAIN_AXIS
-        )
-        accept = jax.lax.pmean(info["accept_prob"], CHAIN_AXIS)
-        return samples, accept, info["step_size"], info["inv_mass"]
-
-    fn = shard_map(
-        device_fn,
-        mesh=mesh,
-        in_specs=(_star_specs(stars), P(CHAIN_AXIS, None), P()),
-        out_specs=(P(None, CHAIN_AXIS, None), P(), P(), P()),
-        check_vma=False,
-    )
-    samples, accept, step_size, inv_mass = jax.jit(fn)(stars, init_z, key)
+    n_rec = cfg.n_samples // cfg.thin
+    warm, step = make_sharded_hmc_fns(model, transform, cfg, mesh, n_rec)
+    states, inv_mass, eps = warm(init_z, key)
+    states, zs, lps, aps = step(states, inv_mass, eps)
+    samples = jnp.swapaxes(zs, 0, 1)   # [n_rec, C_total, P]
     return samples, dict(
-        accept_prob=accept, step_size=step_size, inv_mass=inv_mass
+        accept_prob=jnp.mean(aps), step_size=eps, inv_mass=inv_mass,
+        logposts=jnp.swapaxes(lps, 0, 1),
     )
+
+
+def run_hmc_sharded_checkpointed(
+    model: SinglePopModel,
+    transform,
+    init_z: Array,   # [C_total, P]
+    key: Array,
+    cfg: hmc_mod.HMCConfig,
+    mesh: Mesh,
+    dcfg: driver_mod.DriverConfig = driver_mod.DriverConfig(),
+):
+    """Sharded HMC with chunked checkpoint/resume: the shard_map'd
+    (warm, step) pair drives the same resume loop as the single-device
+    path, so a killed pod run resumes bit-identically (SURVEY.md §5)."""
+    n_rec = cfg.n_samples // cfg.thin
+    chunk = min(dcfg.chunk_size, n_rec)
+    warm, step = make_sharded_hmc_fns(model, transform, cfg, mesh, chunk)
+    return driver_mod.run_checkpointed(warm, step, init_z, key, cfg, dcfg)
 
 
 def run_nuts_sharded(
@@ -173,14 +278,12 @@ def run_nuts_sharded(
     nuts.run_nuts via axis_name)."""
     from base_tpu.inference import nuts as nuts_mod
 
-    model = shard_stars(model, mesh)
-    stars = model.stars
-    frame = dataclasses.replace(model, stars=None)
+    frame, stars, wds = _split_frame(model, mesh)
 
-    def device_fn(stars_local, init_z_local, key):
+    def device_fn(stars_local, wd_local, init_z_local, key):
         ci = jax.lax.axis_index(CHAIN_AXIS)
         dkey = jax.random.fold_in(key, ci)
-        base = local_logpost_fn(frame, stars_local, STAR_AXIS)
+        base = local_logpost_fn(frame, stars_local, STAR_AXIS, wd_local)
 
         def logpost_z(z):
             x = transform.forward(z)
@@ -196,12 +299,13 @@ def run_nuts_sharded(
     fn = shard_map(
         device_fn,
         mesh=mesh,
-        in_specs=(_star_specs(stars), P(CHAIN_AXIS, None), P()),
+        in_specs=(_star_specs(stars), _star_specs(wds),
+                  P(CHAIN_AXIS, None), P()),
         out_specs=(P(None, CHAIN_AXIS, None), P(), P(), P(), P()),
-        check_vma=False,
+        check_vma=True,
     )
     samples, accept, step_size, inv_mass, nlf = jax.jit(fn)(
-        stars, init_z, key
+        stars, wds, init_z, key
     )
     return samples, dict(
         accept_prob=accept, step_size=step_size, inv_mass=inv_mass,
@@ -225,14 +329,12 @@ def run_smc_sharded(
     info)."""
     from base_tpu.inference import smc as smc_mod
 
-    model = shard_stars(model, mesh)
-    stars = model.stars
-    frame = dataclasses.replace(model, stars=None)
+    frame, stars, wds = _split_frame(model, mesh)
     P_dim = center_z.shape[0]
 
-    def device_fn(stars_local, key):
+    def device_fn(stars_local, wd_local, key):
         ci = jax.lax.axis_index(CHAIN_AXIS)
-        base = local_logpost_fn(frame, stars_local, STAR_AXIS)
+        base = local_logpost_fn(frame, stars_local, STAR_AXIS, wd_local)
 
         def log_target(z):
             x = transform.forward(z)
@@ -260,15 +362,15 @@ def run_smc_sharded(
     fn = shard_map(
         device_fn,
         mesh=mesh,
-        in_specs=(_star_specs(stars), P()),
+        in_specs=(_star_specs(stars), _star_specs(wds), P()),
         out_specs=(
             P(CHAIN_AXIS, None),
             dict(log_evidence=P(), beta=P(), n_stages=P(), accept=P(),
                  betas=P()),
         ),
-        check_vma=False,
+        check_vma=True,
     )
-    particles, info = jax.jit(fn)(stars, key)
+    particles, info = jax.jit(fn)(stars, wds, key)
     return particles, info
 
 
@@ -282,14 +384,12 @@ def run_mh_sharded(
 ):
     """Reference-parity adaptive MH over the (chains x stars) mesh.
     Chains are embarrassingly parallel; stars psum inside the density."""
-    model = shard_stars(model, mesh)
-    stars = model.stars
-    frame = dataclasses.replace(model, stars=None)
+    frame, stars, wds = _split_frame(model, mesh)
 
-    def device_fn(stars_local, init_local, key):
+    def device_fn(stars_local, wd_local, init_local, key):
         ci = jax.lax.axis_index(CHAIN_AXIS)
         dkey = jax.random.fold_in(key, ci)
-        f = local_logpost_fn(frame, stars_local, STAR_AXIS)
+        f = local_logpost_fn(frame, stars_local, STAR_AXIS, wd_local)
 
         def one_chain(pos, k):
             return mh_mod.run_adaptive_mh(f, pos, k, step_init, cfg)
@@ -303,11 +403,12 @@ def run_mh_sharded(
     fn = shard_map(
         device_fn,
         mesh=mesh,
-        in_specs=(_star_specs(stars), P(CHAIN_AXIS, None), P()),
+        in_specs=(_star_specs(stars), _star_specs(wds),
+                  P(CHAIN_AXIS, None), P()),
         out_specs=(P(CHAIN_AXIS, None, None), P(CHAIN_AXIS, None), P()),
-        check_vma=False,
+        check_vma=True,
     )
-    samples, logposts, accept = jax.jit(fn)(stars, init_position, key)
+    samples, logposts, accept = jax.jit(fn)(stars, wds, init_position, key)
     # [C_total, n_rec, P] -> [n_rec, C_total, P] to match diagnostics.
     return jnp.swapaxes(samples, 0, 1), dict(
         accept_rate=accept, logposts=logposts

@@ -46,6 +46,15 @@ def _common(parser: argparse.ArgumentParser) -> None:
         "--metrics", default=None, metavar="FILE.jsonl",
         help="append structured throughput metrics to FILE.jsonl",
     )
+    parser.add_argument(
+        "--mesh", default=None, metavar="C,S",
+        help="shard over a (chains x stars) device mesh, e.g. 4,2",
+    )
+    parser.add_argument(
+        "--resume", action="store_true",
+        help="checkpoint to <outputFileBase>.ckpt and resume if present "
+             "(hmc sampler)",
+    )
 
 
 def _settings(args) -> Settings:
@@ -219,6 +228,46 @@ def _build_model_from_phot(s: Settings, table: photio.PhotTable):
     return model
 
 
+def _parse_mesh(spec: str | None):
+    """--mesh C,S -> a (chains x stars) Mesh over the available devices;
+    None when no mesh was requested (single-device vmap path)."""
+    if not spec:
+        return None
+    from base_tpu.parallel.mesh import make_mesh
+
+    parts = [int(x) for x in spec.split(",")]
+    if len(parts) == 1:
+        parts.append(1)
+    if len(parts) != 2:
+        raise SystemExit(f"--mesh wants C,S (got {spec!r})")
+    return make_mesh(n_chain_shards=parts[0], n_star_shards=parts[1])
+
+
+def _window_logger(mlog, names):
+    """Streaming per-window diagnostics hook for the chunked driver:
+    R-hat/ESS/acceptance per recorded window, not one post-hoc row
+    (SURVEY.md §5 metrics plan)."""
+    import numpy as np
+
+    from base_tpu.inference import diagnostics as diag
+
+    def on_window(ci, zs, lps):
+        import jax.numpy as jnp
+
+        rhat = np.asarray(diag.split_rhat(jnp.asarray(zs)))
+        ess = np.asarray(diag.ess(jnp.asarray(zs)))
+        mlog.log(
+            "window",
+            window=ci,
+            n=int(zs.shape[0]) * int(zs.shape[1]),
+            logpost_mean=float(np.mean(np.asarray(lps))),
+            **{f"rhat_{n}": float(rhat[i]) for i, n in enumerate(names)},
+            **{f"ess_{n}": float(ess[i]) for i, n in enumerate(names)},
+        )
+
+    return on_window
+
+
 def cmd_single_pop(args) -> None:
     import jax
     import jax.numpy as jnp
@@ -236,6 +285,20 @@ def cmd_single_pop(args) -> None:
     key = jax.random.PRNGKey(s.mcmc.seed)
     start = s.cluster.start_vector()
     n_chains = s.mcmc.chains
+    mesh = _parse_mesh(getattr(args, "mesh", None))
+    resume = bool(getattr(args, "resume", False))
+    ckpt_path = s.files.outputFileBase + ".ckpt" if resume else None
+    if resume and s.mcmc.sampler != "hmc":
+        print(
+            f"single-pop: --resume is checkpointed-HMC only; "
+            f"sampler={s.mcmc.sampler} runs without checkpoints",
+            file=sys.stderr,
+        )
+    mlog = None
+    if args.metrics:
+        from base_tpu.utils.metrics import MetricsLogger
+
+        mlog = MetricsLogger(args.metrics)
     t_sample0 = time.perf_counter()
 
     if s.mcmc.sampler in ("hmc", "nuts", "smc", "vi"):
@@ -257,11 +320,19 @@ def cmd_single_pop(args) -> None:
                 n_samples=s.mcmc.runIter // n_chains,
                 thin=s.mcmc.thin, target_accept=s.mcmc.targetAccept,
             )
-            zs, info = jax.jit(lambda z, k: run_nuts(fz, z, k, ncfg))(
-                init, jax.random.fold_in(key, 1)
-            )
+            if mesh is not None:
+                from base_tpu.parallel.run import run_nuts_sharded
+
+                zs, info = run_nuts_sharded(
+                    model, tr, init, jax.random.fold_in(key, 1), ncfg, mesh
+                )
+                lps = jax.vmap(jax.vmap(fz))(zs)
+            else:
+                zs, info = jax.jit(lambda z, k: run_nuts(fz, z, k, ncfg))(
+                    init, jax.random.fold_in(key, 1)
+                )
+                lps = info["logposts"]
             accept = float(info["accept_prob"])
-            lps = info["logposts"]
         elif s.mcmc.sampler == "smc":
             from base_tpu.inference.smc import SMCConfig, run_smc
 
@@ -279,10 +350,22 @@ def cmd_single_pop(args) -> None:
                     k, (n, z0.shape[0])
                 )
 
-            scfg = SMCConfig(n_particles=n_part)
-            z_part, info = jax.jit(
-                lambda k: run_smc(fz, sample_q0, log_q0, k, scfg)
-            )(jax.random.fold_in(key, 2))
+            if mesh is not None:
+                from base_tpu.parallel.mesh import CHAIN_AXIS
+                from base_tpu.parallel.run import run_smc_sharded
+
+                scfg = SMCConfig(
+                    n_particles=max(n_part // mesh.shape[CHAIN_AXIS], 64)
+                )
+                z_part, info = run_smc_sharded(
+                    model, tr, z0, jax.random.fold_in(key, 2), scfg, mesh,
+                    q0_sd=sd0,
+                )
+            else:
+                scfg = SMCConfig(n_particles=n_part)
+                z_part, info = jax.jit(
+                    lambda k: run_smc(fz, sample_q0, log_q0, k, scfg)
+                )(jax.random.fold_in(key, 2))
             zs = z_part[:, None, :]      # [N, 1, P]
             lps = jax.vmap(fz)(z_part)[:, None]
             accept = float(info["accept"])
@@ -316,9 +399,47 @@ def cmd_single_pop(args) -> None:
                 target_accept=s.mcmc.targetAccept,
                 dense_mass=s.mcmc.denseMass,
             )
-            zs, info = jax.jit(lambda z, k: run_hmc(fz, z, k, cfg))(
-                init, jax.random.fold_in(key, 1)
-            )
+            hkey = jax.random.fold_in(key, 1)
+            chunked = resume or mlog is not None
+            if chunked:
+                # Chunked driver: checkpoint/resume (--resume) and/or
+                # per-window streaming diagnostics (--metrics).
+                from base_tpu.inference.driver import DriverConfig
+
+                dcfg = DriverConfig(
+                    checkpoint_path=ckpt_path,
+                    chunk_size=max(
+                        min(100, (s.mcmc.runIter // n_chains) // 4), 1
+                    ),
+                    on_window=(
+                        _window_logger(mlog, C.PARAM_NAMES)
+                        if mlog is not None else None
+                    ),
+                )
+                if mesh is not None:
+                    from base_tpu.parallel.run import (
+                        run_hmc_sharded_checkpointed,
+                    )
+
+                    zs, info = run_hmc_sharded_checkpointed(
+                        model, tr, init, hkey, cfg, mesh, dcfg
+                    )
+                else:
+                    from base_tpu.inference.driver import (
+                        run_hmc_checkpointed,
+                    )
+
+                    zs, info = run_hmc_checkpointed(
+                        fz, init, hkey, cfg, dcfg
+                    )
+            elif mesh is not None:
+                from base_tpu.parallel.run import run_hmc_sharded
+
+                zs, info = run_hmc_sharded(model, tr, init, hkey, cfg, mesh)
+            else:
+                zs, info = jax.jit(lambda z, k: run_hmc(fz, z, k, cfg))(
+                    init, hkey
+                )
             accept = float(info["accept_prob"])
             lps = info["logposts"]
         xs = jax.vmap(jax.vmap(tr.forward))(zs)          # [N, C, 9]
@@ -343,27 +464,39 @@ def cmd_single_pop(args) -> None:
             f_burn = post.make_logpost_fn(burn_model)
         keys = jax.random.split(key, n_chains)
         init = jnp.tile(jnp.asarray(start)[None, :], (n_chains, 1))
-        samples, info = jax.jit(jax.vmap(
-            lambda p, k: run_adaptive_mh(
-                f, p, k, jnp.asarray(step0), cfg,
-                logpost_burnin_fn=f_burn,
+        if mesh is not None and f_burn is None:
+            from base_tpu.parallel.run import run_mh_sharded
+
+            xs, info = run_mh_sharded(
+                model, init, key, jnp.asarray(step0), cfg, mesh
             )
-        ))(init, keys)
-        xs = jnp.swapaxes(samples, 0, 1)                 # [N, C, 9]
-        lps = jnp.swapaxes(info["logposts"], 0, 1)       # [N, C]
-        accept = float(np.mean(np.asarray(info["accept_rate"])))
+            lps = jnp.swapaxes(info["logposts"], 0, 1)
+            accept = float(np.asarray(info["accept_rate"]))
+        else:
+            if mesh is not None:
+                print(
+                    "single-pop: useDuringBurnIn subsetting runs on the "
+                    "single-device MH path; ignoring --mesh",
+                    file=sys.stderr,
+                )
+            samples, info = jax.jit(jax.vmap(
+                lambda p, k: run_adaptive_mh(
+                    f, p, k, jnp.asarray(step0), cfg,
+                    logpost_burnin_fn=f_burn,
+                )
+            ))(init, keys)
+            xs = jnp.swapaxes(samples, 0, 1)             # [N, C, 9]
+            lps = jnp.swapaxes(info["logposts"], 0, 1)   # [N, C]
+            accept = float(np.mean(np.asarray(info["accept_rate"])))
 
     wall = time.perf_counter() - t_sample0
     out = s.files.outputFileBase + ".res"
     resio.write_res(out, np.asarray(xs), np.asarray(lps).reshape(xs.shape[0], -1))
     summ = diag.summarize(jnp.asarray(xs), C.PARAM_NAMES)
-    if args.metrics:
-        from base_tpu.utils.metrics import MetricsLogger
-
+    if mlog is not None:
         n_evals = xs.shape[0] * xs.shape[1] * (
             s.mcmc.lMax if s.mcmc.sampler == "hmc" else 1
         )
-        mlog = MetricsLogger(args.metrics)
         mlog.throughput(
             "single-pop", n_samples=xs.shape[0] * xs.shape[1],
             n_evals=n_evals, seconds=wall, sampler=s.mcmc.sampler,

@@ -70,12 +70,20 @@ def cluster_model(small_grid):
     )
 
 
-def test_star_sharded_logpost_matches_single_device(cluster_model):
-    """The psum-over-star-shards density must equal the replicated one
-    (50 stars pad to 52 across 4 shards — padding must not leak)."""
+def test_star_sharded_logpost_and_grad_match_single_device(cluster_model):
+    """The psum-over-star-shards density AND its gradient must match the
+    replicated evaluation (50 stars pad to 52 across 4 shards — padding
+    must not leak).
+
+    The gradient check is the load-bearing half: with check_vma=False,
+    grad-of-psum silently dropped every other shard's contribution (each
+    device kept only its local-stars gradient), which collapsed sharded
+    HMC warmup to eps ~ 1e-12 and froze the chains.  check_vma=True is
+    what makes the psum transpose insert the correct collectives — this
+    test pins both the setting and the numbers."""
     mesh = make_mesh(n_chain_shards=2, n_star_shards=4)
     single = post.make_logpost_fn(cluster_model)
-    want = float(single(jnp.asarray(TRUTH)))
+    want_v, want_g = jax.value_and_grad(single)(jnp.asarray(TRUTH))
 
     sharded_model = prun.shard_stars(cluster_model, mesh)
     stars = sharded_model.stars
@@ -86,16 +94,50 @@ def test_star_sharded_logpost_matches_single_device(cluster_model):
 
     def device_fn(stars_local, params):
         f = prun.local_logpost_fn(frame, stars_local, prun.STAR_AXIS)
-        return f(params)
+        return jax.value_and_grad(f)(params)
 
     fn = jax.jit(jax.shard_map(
         device_fn, mesh=mesh,
         in_specs=(prun._star_specs(stars), P()),
-        out_specs=P(), check_vma=False,
+        out_specs=(P(), P()), check_vma=True,
     ))
-    got = float(fn(stars, jnp.asarray(TRUTH)))
+    got_v, got_g = fn(stars, jnp.asarray(TRUTH))
     # float32 star-sum reassociation across shards: ~1e-5 relative
-    np.testing.assert_allclose(got, want, rtol=1e-5)
+    np.testing.assert_allclose(float(got_v), float(want_v), rtol=1e-5)
+    # gradient components span O(1)-O(200); reassociation inside the
+    # segment sums costs up to ~1e-3 of the largest component
+    np.testing.assert_allclose(
+        np.asarray(got_g), np.asarray(want_g), rtol=5e-3,
+        atol=2e-3 * float(jnp.max(jnp.abs(want_g))),
+    )
+
+
+def test_hmc_sharded_chains_actually_move(cluster_model):
+    """Regression for the frozen-chain failure mode: recorded draws must
+    differ across the draw axis, and recorded logposts must be
+    consistent with the density at the recorded positions (the broken
+    gradient path produced accept=0.99 with zero movement, which the
+    truth-recovery assertions could not distinguish from convergence)."""
+    mesh = make_mesh(n_chain_shards=4, n_star_shards=2)
+    tr = post.default_transform(cluster_model)
+    z0 = tr.inverse(jnp.asarray(TRUTH))
+    init = jnp.tile(z0[None, :], (8, 1))
+    init = init + 0.01 * jax.random.normal(jax.random.PRNGKey(8), init.shape)
+    cfg = hmc.HMCConfig(n_warmup=100, n_samples=60, l_max=8, n_windows=2)
+    zs, info = prun.run_hmc_sharded(
+        cluster_model, tr, init, jax.random.PRNGKey(9), cfg, mesh
+    )
+    z = np.asarray(zs)
+    # every chain moves between draws
+    per_chain_ptp = np.ptp(z, axis=0).max(axis=-1)  # [C]
+    assert (per_chain_ptp > 1e-4).all(), per_chain_ptp
+    # step size is sane (the bug froze it at ~1e-12)
+    assert float(np.asarray(info["step_size"])) > 1e-6
+    # recorded logposts consistent with the density at the recorded z
+    fz = post.make_logpost_z_fn(cluster_model, tr)
+    lp_true = np.asarray(jax.vmap(jax.vmap(fz))(zs))
+    lps = np.asarray(info["logposts"])
+    np.testing.assert_allclose(lps, lp_true, atol=0.5, rtol=1e-4)
 
 
 def test_mh_sharded_runs_and_recovers(cluster_model):
