@@ -87,8 +87,13 @@ class Isochrone:
         Analog of the reference `msRgbEvol(mass)` [SURVEY.md C5].  Queries
         are clamped to the isochrone's mass hull; callers mask companions
         below `min_mass` or above `agb_tip` themselves.
+
+        Dense (gather-free) formulation: the E*Q secondary-mass queries
+        per proposal made searchsorted+gather the hottest op in the HMC
+        leapfrog; hat-weights + one [Q,E]@[E,B] matmul run on the MXU
+        instead (see ops.interp.hat_weight_matrix).
         """
-        return iops.interp1d(self.mass_sorted, self.mags, m)
+        return iops.interp1d_dense(self.mass_sorted, self.mags, m)
 
 
 def derive_isochrone(grid: IsochroneGrid, feh, y, age) -> Isochrone:

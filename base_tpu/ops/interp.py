@@ -122,3 +122,55 @@ def interp1d(x_axis: Array, y: Array, xq: Array) -> Array:
     # Broadcast frac over payload dims.
     t = t.reshape(t.shape + (1,) * (y.ndim - 1))
     return lo + (hi - lo) * t
+
+
+_HUGE = 1.0e30  # virtual axis extension for boundary clamping
+
+
+def hat_weight_matrix(x_axis: Array, xq: Array) -> Array:
+    """Dense piecewise-linear interpolation weights W [Q, E].
+
+    y(xq) == W @ y exactly (same lerp as interp1d, boundary-clamped),
+    but expressed gather-free: each row of W is the hat-function basis
+    evaluated at one query, via the identity
+
+        w_e(x) = clip((x - x_{e-1}) / (x_e - x_{e-1}), 0, 1)
+               + clip((x_{e+1} - x) / (x_{e+1} - x_e), 0, 1) - 1
+
+    with the axis virtually extended by +-1e30 so the first/last hats
+    saturate to 1 outside the hull (= clamping).  On TPU this replaces
+    searchsorted (a sequential binary-search loop of batched gathers)
+    and payload gathers with one [Q, E] compare/FMA block and one
+    [Q, E] @ [E, B] matmul — the per-proposal secondary-mass lookup in
+    the segment-table build was the single most expensive piece of the
+    HMC leapfrog before this (benchmarks/profile_density.py).
+
+    Differentiable in BOTH xq and x_axis (the isochrone masses are
+    proposal-dependent, so gradients must flow into the axis).
+    """
+    E = x_axis.shape[0]
+    ext_lo = x_axis[:1] - _HUGE
+    ext_hi = x_axis[-1:] + _HUGE
+    xl = jnp.concatenate([ext_lo, x_axis[:-1]])   # x_{e-1}, [E]
+    xr = jnp.concatenate([x_axis[1:], ext_hi])    # x_{e+1}, [E]
+    dl = jnp.maximum(x_axis - xl, 1e-30)
+    dr = jnp.maximum(xr - x_axis, 1e-30)
+    q = xq.reshape(-1)                             # [Q]
+    up = jnp.clip((q[:, None] - xl[None, :]) / dl[None, :], 0.0, 1.0)
+    dn = jnp.clip((xr[None, :] - q[:, None]) / dr[None, :], 0.0, 1.0)
+    w = up + dn - 1.0
+    return w.reshape(xq.shape + (E,))
+
+
+def interp1d_dense(x_axis: Array, y: Array, xq: Array) -> Array:
+    """interp1d via hat_weight_matrix: W @ y on the MXU, no gathers.
+
+    Numerically identical to interp1d up to float32 reassociation; use
+    on hot paths where xq is a large batch against a small axis."""
+    w = hat_weight_matrix(x_axis, xq)              # [..., E]
+    y2 = y.reshape(y.shape[0], -1)                 # [E, P]
+    out = jnp.dot(
+        w.reshape(-1, w.shape[-1]), y2,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(xq.shape + y.shape[1:])
