@@ -276,9 +276,10 @@ def warmup(
     mass estimation between windows.  Returns (states, inv_mass, eps)."""
     P = states.z.shape[-1]
     vgrad = jax.value_and_grad(logpost_fn)
-    inv_mass = jnp.eye(P) if cfg.dense_mass else jnp.ones((P,))
+    inv_mass0 = jnp.eye(P) if cfg.dense_mass else jnp.ones((P,))
+    seg_len = max(cfg.n_warmup // cfg.n_windows, 1)
 
-    def warmup_segment(states, inv_mass, n_iters):
+    def warmup_segment(states, inv_mass):
         chol = _metric_chol(inv_mass)  # once per window, not per step
 
         def one_chain(st):
@@ -289,22 +290,32 @@ def warmup(
                 st2 = st2._replace(da=da_update(st2.da, ap, cfg.target_accept))
                 return st2, st2.z
 
-            return jax.lax.scan(body, st, None, length=n_iters)
+            return jax.lax.scan(body, st, None, length=seg_len)
 
         states, zs = jax.vmap(one_chain)(states)  # zs [C, n, P]
         return states, zs
 
-    seg_len = max(cfg.n_warmup // cfg.n_windows, 1)
-    for w in range(cfg.n_windows):
-        states, zs = warmup_segment(states, inv_mass, seg_len)
-        if w >= 1:
-            # Pooled cross-chain (co)variance -> mass matrix
-            # (inv_mass = Sigma ~ posterior covariance).
-            if cfg.dense_mass:
-                inv_mass = _pooled_cov(zs, axis_name)
-            else:
-                _, var = _pooled_mean_var(zs, axis_name)
-                inv_mass = var + 1e-6
+    # Windows run as a lax.scan (not a Python unroll): each extra copy of
+    # the density+VJP in the program costs real XLA compile time (minutes
+    # at production chain counts through the TPU tunnel), and the window
+    # body is identical up to the mass-matrix carry.
+    def window(carry, w):
+        states, inv_mass = carry
+        states, zs = warmup_segment(states, inv_mass)
+        # Pooled cross-chain (co)variance -> mass matrix
+        # (inv_mass = Sigma ~ posterior covariance); the first window
+        # keeps the identity metric (too few samples to estimate).
+        if cfg.dense_mass:
+            est = _pooled_cov(zs, axis_name)
+        else:
+            _, var = _pooled_mean_var(zs, axis_name)
+            est = var + 1e-6
+        inv_mass = jnp.where(w >= 1, est, inv_mass)
+        return (states, inv_mass), None
+
+    (states, inv_mass), _ = jax.lax.scan(
+        window, (states, inv_mass0), jnp.arange(cfg.n_windows)
+    )
 
     # Freeze step size at the cross-chain mean of the DA average (a mean,
     # not a median, so it pools exactly across shards with one psum).

@@ -315,9 +315,9 @@ def run_nuts(
             jax.vmap(lambda _: da_init(cfg.init_step))(jnp.arange(C)),
         ),
     )
-    inv_mass = jnp.ones((P,))
+    seg_len = max(cfg.n_warmup // cfg.n_windows, 1)
 
-    def warmup_segment(states, inv_mass, n_iters):
+    def warmup_segment(states, inv_mass):
         def one_chain(st):
             def body(st, _):
                 eps = jnp.exp(st.da.log_eps)
@@ -327,16 +327,22 @@ def run_nuts(
                 )
                 return st2, st2.z
 
-            return jax.lax.scan(body, st, None, length=n_iters)
+            return jax.lax.scan(body, st, None, length=seg_len)
 
         return jax.vmap(one_chain)(states)
 
-    seg_len = max(cfg.n_warmup // cfg.n_windows, 1)
-    for w in range(cfg.n_windows):
-        states, zs = warmup_segment(states, inv_mass, seg_len)
-        if w >= 1:
-            _, var = _pooled_mean_var(zs, axis_name)
-            inv_mass = var + 1e-6
+    # Windows as a lax.scan, not a Python unroll — each unrolled window
+    # duplicates the whole NUTS tree program in the HLO (see hmc.warmup).
+    def window(carry, w):
+        states, inv_mass = carry
+        states, zs = warmup_segment(states, inv_mass)
+        _, var = _pooled_mean_var(zs, axis_name)
+        inv_mass = jnp.where(w >= 1, var + 1e-6, inv_mass)
+        return (states, inv_mass), None
+
+    (states, inv_mass), _ = jax.lax.scan(
+        window, (states, jnp.ones((P,))), jnp.arange(cfg.n_windows)
+    )
 
     le = jnp.mean(states.da.log_eps_avg)
     if axis_name is not None:

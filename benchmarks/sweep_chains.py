@@ -1,11 +1,15 @@
 """Single-chip saturation sweep: ESS/s and grad-evals/s vs chain count.
 
-VERDICT r1 #1: the r1 bench ran 64 chains and left the chip ~99% idle
-(dispatch-bound).  This sweep measures the BASELINE.json config-1
-workload (100 stars, Girardi-shaped synthetic grid, binaries) at chain
-counts 64..2048, with the jnp and the fused-Pallas likelihood, and
-reports the knee.  bench.py pins its chain count from this sweep's
-result (documented in BASELINE.md).
+VERDICT r1 #1: the r1 bench ran 64 chains and left the chip ~99% idle.
+This sweep measures the BASELINE.json config-1 workload (100 stars,
+Girardi-shaped synthetic grid, binaries) over chain counts, with the jnp
+and the fused-Pallas likelihood, and reports the knee.  bench.py pins
+its chain count from this sweep's result (documented in BASELINE.md).
+
+Each point runs in its OWN subprocess: a TPU client that hits a device
+error (or a tunnel timeout during a long compile) is wedged for the rest
+of the process, so in-process sweeps report phantom failures for every
+subsequent point.
 
 Run on the real chip:  python -u benchmarks/sweep_chains.py > sweep.log
 """
@@ -13,13 +17,12 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
-# Run as a plain script from anywhere (PYTHONPATH breaks the axon TPU
-# plugin registration, so the repo root is inserted here instead).
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -87,25 +90,42 @@ def run_point(n_chains: int, use_pallas: bool, n_stars: int = 100,
 
 
 def main():
-    import jax
-    print(f"backend={jax.default_backend()} devices={jax.devices()}",
-          flush=True)
     points = []
     chain_counts = [64, 128, 256, 512, 1024, 2048]
     if "--quick" in sys.argv:
         chain_counts = [64, 256]
+    here = os.path.abspath(__file__)
     for use_pallas in (False, True):
         for c in chain_counts:
+            argv = [sys.executable, "-u", here, "--point", str(c)]
+            if use_pallas:
+                argv.append("--pallas")
             try:
-                r = run_point(c, use_pallas)
-            except Exception as e:  # noqa: BLE001 — record and continue
-                r = dict(chains=c, pallas=use_pallas,
-                         error=f"{type(e).__name__}: {e}")
+                p = subprocess.run(
+                    argv, capture_output=True, text=True, timeout=2400,
+                    cwd=os.path.dirname(os.path.dirname(here)),
+                )
+                line = [l for l in p.stdout.splitlines()
+                        if l.startswith("{")]
+                if p.returncode == 0 and line:
+                    r = json.loads(line[-1])
+                else:
+                    r = dict(chains=c, pallas=use_pallas,
+                             error=(p.stderr.strip().splitlines() or
+                                    ["no output"])[-1][:300])
+            except subprocess.TimeoutExpired:
+                r = dict(chains=c, pallas=use_pallas, error="timeout 2400s")
             points.append(r)
             print(json.dumps(r), flush=True)
-    with open("benchmarks/sweep_chains_result.json", "w") as f:
+    out = os.path.join(os.path.dirname(here), "sweep_chains_result.json")
+    with open(out, "w") as f:
         json.dump(points, f, indent=1)
 
 
 if __name__ == "__main__":
-    main()
+    if "--point" in sys.argv:
+        i = sys.argv.index("--point")
+        c = int(sys.argv[i + 1])
+        print(json.dumps(run_point(c, "--pallas" in sys.argv)), flush=True)
+    else:
+        main()

@@ -36,16 +36,17 @@ def test_nuts_scales_trajectory_with_anisotropy():
     more leapfrogs per iteration."""
 
     def narrow(z):
-        return -0.5 * (z[0] ** 2 / 100.0 + z[1] ** 2)
+        # sd 20 vs 1: ~2 extra tree doublings needed at matched eps
+        return -0.5 * (z[0] ** 2 / 400.0 + z[1] ** 2)
 
     def iso(z):
         return -0.5 * jnp.sum(z * z)
 
     cfg = nuts.NUTSConfig(
-        n_warmup=50, n_samples=100, max_depth=8, n_windows=1,
+        n_warmup=50, n_samples=200, max_depth=9, n_windows=1,
         init_step=0.5,
     )
-    init = jnp.zeros((4, 2)) + 0.1
+    init = jnp.zeros((8, 2)) + 0.1
 
     def mean_lf(lp):
         # disable mass adaptation effect by tiny warmup; measure depth
