@@ -47,6 +47,18 @@ class HMCConfig:
     n_windows: int = 4           # mass-matrix re-estimation points
     jitter_traj: bool = True     # random trajectory lengths (0.5-1) * l_max
     dense_mass: bool = False     # full [P,P] mass matrix (pooled covariance)
+    # Pinned parameters (reference: MH step scale 0 pins a dim, e.g. IFMR
+    # coefficients in an MS-only run).  1.0 = sampled, 0.0 = frozen.
+    # Without this, density-flat dims random-walk through warmup and
+    # poison the pooled (co)variance metric (their sample variance is
+    # eps^2-scaled noise, and dense cross terms corrupt the live dims —
+    # observed as accept == 0 on the multipop posterior).
+    free_mask: tuple | None = None
+
+    def mask_array(self, P: int) -> Array:
+        if self.free_mask is None:
+            return jnp.ones((P,), jnp.float32)
+        return jnp.asarray(self.free_mask, jnp.float32)
 
 
 class DAState(NamedTuple):
@@ -131,20 +143,26 @@ class HMCChainState(NamedTuple):
     da: DAState
 
 
-def _leapfrog(logpost_and_grad, z, p, grad, eps, inv_mass, n_steps, l_max):
+def _leapfrog(logpost_and_grad, z, p, grad, eps, inv_mass, n_steps, l_max,
+              mask=None):
     """l_max leapfrog steps; returns the state after `n_steps` (<= l_max).
 
     All l_max steps are computed (static shape); the trajectory endpoint
     is the scan output at index n_steps-1.  Cost is bounded by l_max
     regardless of jitter, which keeps every chain in a vmap batch on the
-    same program.
+    same program.  `mask` zeroes the gradient of pinned dims so frozen
+    coordinates never move (their momentum is already zero).
     """
+    if mask is not None:
+        grad = grad * mask
 
     def step(carry, _):
         z, p, grad = carry
         p_half = p + 0.5 * eps * grad
         z_new = z + eps * _mass_matvec(inv_mass, p_half)
         lp, g = logpost_and_grad(z_new)
+        if mask is not None:
+            g = g * mask
         p_new = p_half + 0.5 * eps * g
         return (z_new, p_new, g), (z_new, p_new, lp, g)
 
@@ -167,10 +185,12 @@ def hmc_transition(
     passing it keeps the factorization out of scan bodies."""
     key, k_mom, k_len, k_acc = jax.random.split(state.key, 4)
     P = state.z.shape[0]
+    mask = cfg.mask_array(P)
     if chol is None:
         chol = _metric_chol(inv_mass)
-    # momentum ~ N(0, M), M = Sigma^{-1} (diagonal or dense)
-    p0 = _sample_momentum(k_mom, chol, P)
+    # momentum ~ N(0, M), M = Sigma^{-1} (diagonal or dense); pinned
+    # dims carry zero momentum and never move.
+    p0 = _sample_momentum(k_mom, chol, P) * mask
     if cfg.jitter_traj:
         u = jax.random.uniform(k_len, (), minval=0.5, maxval=1.0)
         n_steps = jnp.ceil(u * cfg.l_max).astype(jnp.int32)
@@ -179,7 +199,7 @@ def hmc_transition(
 
     z1, p1, lp1, g1 = _leapfrog(
         logpost_and_grad, state.z, p0, state.grad, eps, inv_mass,
-        n_steps, cfg.l_max,
+        n_steps, cfg.l_max, mask=mask,
     )
     ke0 = _kinetic(inv_mass, p0)
     ke1 = _kinetic(inv_mass, p1)
@@ -299,17 +319,26 @@ def warmup(
     # the density+VJP in the program costs real XLA compile time (minutes
     # at production chain counts through the TPU tunnel), and the window
     # body is identical up to the mass-matrix carry.
+    mask = cfg.mask_array(P)
+
     def window(carry, w):
         states, inv_mass = carry
         states, zs = warmup_segment(states, inv_mass)
         # Pooled cross-chain (co)variance -> mass matrix
         # (inv_mass = Sigma ~ posterior covariance); the first window
         # keeps the identity metric (too few samples to estimate).
+        # Pinned dims get a unit diagonal and zero cross terms — their
+        # warmup samples are frozen, and without the projection the
+        # dense metric would be singular in those directions.
         if cfg.dense_mass:
             est = _pooled_cov(zs, axis_name)
+            est = (
+                est * (mask[:, None] * mask[None, :])
+                + jnp.diag(1.0 - mask)
+            )
         else:
             _, var = _pooled_mean_var(zs, axis_name)
-            est = var + 1e-6
+            est = (var + 1e-6) * mask + (1.0 - mask)
         inv_mass = jnp.where(w >= 1, est, inv_mass)
         return (states, inv_mass), None
 

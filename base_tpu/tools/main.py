@@ -392,12 +392,22 @@ def cmd_single_pop(args) -> None:
             accept = float(res.final_elbo)
             print(f"  vi: final ELBO={float(res.final_elbo):.2f}")
         else:
+            # Pin density-flat dims (carbonicity / IFMR coefficients
+            # without a WD branch) — mirrors the MH path's step-scale-0
+            # pinning and keeps the warmup metric well-conditioned.
+            live = np.ones(C.NPARAMS, np.float32)
+            live[C.Param.CARBONICITY :] = 0.0
+            if model.wd_stars is not None:
+                live[C.Param.CARBONICITY] = 1.0
+                if model.ifmr_kind in ("linear", "quadratic"):
+                    live[6:8] = 1.0
             cfg = HMCConfig(
                 n_warmup=s.mcmc.warmup,
                 n_samples=s.mcmc.runIter // n_chains,
                 thin=s.mcmc.thin, l_max=s.mcmc.lMax,
                 target_accept=s.mcmc.targetAccept,
                 dense_mass=s.mcmc.denseMass,
+                free_mask=tuple(float(v) for v in live),
             )
             hkey = jax.random.fold_in(key, 1)
             chunked = resume or mlog is not None
@@ -589,7 +599,13 @@ def cmd_sample_wd_mass(args) -> None:
 
 
 def cmd_multi_pop(args) -> None:
-    """Two-population helium-spread sampler (multiPopMcmc analog)."""
+    """Two-population helium-spread sampler (multiPopMcmc analog).
+
+    sampler=hmc (default): gradient sampling through the ORDERED
+    (Y_A, dY>0) transform -- the label-switching mode is cut away by the
+    bijection.  sampler=mh: reference-parity 3-stage adaptive MH on the
+    constrained 12-vector.  WDs in the .phot evaluate against both
+    populations' precursor chains (lambda-mixed)."""
     import jax
     import jax.numpy as jnp
 
@@ -604,6 +620,18 @@ def cmd_multi_pop(args) -> None:
     bundle = make_model(s)
     rows = table.select(table.stage == C.StarStatus.MSRG)
     stars = make_ms_stars(rows.mags, rows.sigmas, cm_prior=rows.cm_prior)
+    wd_kwargs = {}
+    wd_rows = table.select(table.stage == C.StarStatus.WD)
+    if wd_rows.n_stars > 0:
+        wd_kwargs = dict(
+            wd_cooling=bundle.wd_cooling,
+            wd_atm=bundle.wd_atm,
+            wd_stars=make_ms_stars(
+                wd_rows.mags, wd_rows.sigmas, cm_prior=wd_rows.cm_prior
+            ),
+            ifmr_kind=bundle.ifmr_kind,
+            p_db=s.whiteDwarfs.percentDB,
+        )
 
     start9 = s.cluster.start_vector()
     y0 = float(start9[C.Param.YYY])
@@ -618,30 +646,57 @@ def cmd_multi_pop(args) -> None:
     model = mp.make_multipop_model(
         bundle.ms, stars, prior_mean, prior_sigma,
         n_q=s.mcmc.nMassRatio, binaries=not s.mcmc.noBinaries,
+        **wd_kwargs,
     )
-    tr = mp.default_transform(model)
-    fz = mp.make_logpost_z_fn(model, tr)
     start = np.concatenate(
         [start9, np.asarray([y0 - 0.02, y0 + 0.02, 0.5], np.float32)]
     )
     key = jax.random.PRNGKey(s.mcmc.seed)
     n_chains = s.mcmc.chains
-    z0 = tr.inverse(jnp.asarray(start))
-    init = jnp.tile(z0[None, :], (n_chains, 1))
-    init = init + 0.02 * jax.random.normal(key, init.shape)
-    cfg = HMCConfig(
-        n_warmup=s.mcmc.warmup, n_samples=s.mcmc.runIter // n_chains,
-        thin=s.mcmc.thin, l_max=s.mcmc.lMax,
-        target_accept=s.mcmc.targetAccept,
-        dense_mass=s.mcmc.denseMass,
-    )
-    zs, info = jax.jit(lambda z, k: run_hmc(fz, z, k, cfg))(
-        init, jax.random.fold_in(key, 1)
-    )
-    xs = np.asarray(jax.vmap(jax.vmap(tr.forward))(zs))
+
+    if s.mcmc.sampler == "mh":
+        from base_tpu.inference.mh import MHConfig, run_adaptive_mh
+
+        f = mp.make_logpost_fn(model)
+        step0 = np.zeros(mp.NPARAMS_MP, np.float32)
+        step0[[0, 2, 3, 4]] = [0.05, 0.05, 0.05, 0.03]
+        step0[mp.MP_YYA] = 0.005
+        step0[mp.MP_YYB] = 0.005
+        step0[mp.MP_LAMBDA] = 0.05
+        cfg = MHConfig(
+            n_stage1=s.mcmc.stage1Iter, n_stage2=s.mcmc.stage2IterMax,
+            n_main=s.mcmc.runIter // n_chains, thin=s.mcmc.thin,
+        )
+        keys = jax.random.split(key, n_chains)
+        init = jnp.tile(jnp.asarray(start)[None, :], (n_chains, 1))
+        samples, info = jax.jit(jax.vmap(
+            lambda p, k: run_adaptive_mh(f, p, k, jnp.asarray(step0), cfg)
+        ))(init, keys)
+        xs = np.asarray(jnp.swapaxes(samples, 0, 1))
+        lps = np.asarray(jnp.swapaxes(info["logposts"], 0, 1))
+        accept = float(np.mean(np.asarray(info["accept_rate"])))
+    else:
+        tr = mp.ordered_transform(model)
+        fz = mp.make_logpost_z_fn(model, tr)
+        z0 = tr.inverse(jnp.asarray(start))
+        init = jnp.tile(z0[None, :], (n_chains, 1))
+        init = init + 0.02 * jax.random.normal(key, init.shape)
+        cfg = HMCConfig(
+            n_warmup=s.mcmc.warmup, n_samples=s.mcmc.runIter // n_chains,
+            thin=s.mcmc.thin, l_max=s.mcmc.lMax,
+            target_accept=s.mcmc.targetAccept,
+            dense_mass=s.mcmc.denseMass,
+            free_mask=mp.free_mask(model),
+        )
+        zs, info = jax.jit(lambda z, k: run_hmc(fz, z, k, cfg))(
+            init, jax.random.fold_in(key, 1)
+        )
+        xs = np.asarray(jax.vmap(jax.vmap(tr.forward))(zs))
+        lps = np.asarray(info["logposts"])
+        accept = float(info["accept_prob"])
+
     out = s.files.outputFileBase + ".mp.res"
     cols = list(mp.MP_PARAM_NAMES) + ["logPost", "chain"]
-    lps = np.asarray(info["logposts"])
     with open(out, "w") as f:
         f.write(" ".join(cols) + "\n")
         for n in range(xs.shape[0]):
@@ -651,9 +706,10 @@ def cmd_multi_pop(args) -> None:
                 f.write(" ".join(row) + "\n")
     summ = diag.summarize(jnp.asarray(xs), mp.MP_PARAM_NAMES)
     print(
-        f"multi-pop (hmc): {xs.shape[0]}x{xs.shape[1]} samples -> {out}"
+        f"multi-pop ({s.mcmc.sampler}): {xs.shape[0]}x{xs.shape[1]} "
+        f"samples -> {out}"
     )
-    print(f"  accept={float(info['accept_prob']):.3f}")
+    print(f"  accept={accept:.3f}")
     for i in [0, 2, 3, 4, mp.MP_YYA, mp.MP_YYB, mp.MP_LAMBDA]:
         name = mp.MP_PARAM_NAMES[i]
         print(
