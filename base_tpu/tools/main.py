@@ -719,10 +719,14 @@ def cmd_multi_pop(args) -> None:
 
 
 def cmd_make_cmd(args) -> None:
+    """Write the model CMD sequence at the truth parameters: upsampled
+    MS/RGB isochrone plus the WD cooling sequence [upstream: makeCMD —
+    SURVEY.md E7]."""
+    import jax
     import jax.numpy as jnp
 
     from base_tpu.grids.load import make_model
-    from base_tpu.grids.isochrone import derive_isochrone
+    from base_tpu.grids.isochrone import derive_isochrone, upsample_isochrone
 
     s = _settings(args)
     bundle = make_model(s)
@@ -730,6 +734,9 @@ def cmd_make_cmd(args) -> None:
     iso = derive_isochrone(
         bundle.ms, p[C.Param.FEH], p[C.Param.YYY], p[C.Param.AGE]
     )
+    # Exact (piecewise-linear) refinement so the written sequence is a
+    # smooth curve rather than the raw EEP nodes.
+    iso = upsample_isochrone(iso, factor=4)
     from base_tpu.grids import filters as filt
 
     dist = p[C.Param.MOD] + p[C.Param.ABS] * filt.absorption_coefs(
@@ -739,10 +746,47 @@ def cmd_make_cmd(args) -> None:
     valid = np.asarray(iso.valid) > 0.5
     out = s.files.outputFileBase + ".cmd"
     with open(out, "w") as f:
-        f.write("mass " + " ".join(bundle.ms.bands) + "\n")
+        f.write("stage mass " + " ".join(bundle.ms.bands) + "\n")
         for m, row in zip(np.asarray(iso.mass)[valid], app[valid]):
-            f.write(f"{m:.6f} " + " ".join(f"{v:.4f}" for v in row) + "\n")
-    print(f"make-cmd: {valid.sum()} EEPs -> {out}")
+            f.write(f"MS {m:.6f} "
+                    + " ".join(f"{v:.4f}" for v in row) + "\n")
+        n_wd = 0
+        if bundle.wd_cooling is not None and bundle.wd_atm is not None:
+            from base_tpu.grids.wd_atmosphere import wd_mags as atm_mags
+            from base_tpu.grids.wd_cooling import wd_teff_radius
+            from base_tpu.model import ifmr as ifmr_mod
+            from base_tpu.model import wd as wd_mod
+
+            # WD sequence: ZAMS masses from just above the AGB tip to the
+            # max precursor mass, evolved through IFMR -> cooling ->
+            # atmosphere (DA) exactly as the likelihood's WD branch.
+            tip = float(iso.agb_tip)
+            prec_m = jnp.linspace(
+                tip * 1.01, float(C.MAX_WD_PRECURSOR_MASS), 64
+            )
+            pj = jnp.asarray(p)
+            prec = wd_mod.wd_prec_logage(
+                bundle.ms, pj[C.Param.FEH], pj[C.Param.YYY], prec_m)
+            delta = jnp.clip(prec - pj[C.Param.AGE], -30.0, -1e-4)
+            log_cool = pj[C.Param.AGE] + jnp.log10(1.0 - 10.0 ** delta)
+            m_wd = ifmr_mod.ifmr_mass(bundle.ifmr_kind, prec_m, pj)
+            lt, lr, _ = jax.vmap(
+                lambda m, a: wd_teff_radius(
+                    bundle.wd_cooling, pj[C.Param.CARBONICITY], m, a)
+            )(m_wd, log_cool)
+            logg = (wd_mod.LOG_G_SUN
+                    + jnp.log10(jnp.maximum(m_wd, 1e-3)) - 2.0 * lr)
+            mda, ok = jax.vmap(
+                lambda t, g: atm_mags(bundle.wd_atm, t, g, 0))(lt, logg)
+            wd_app = np.asarray(mda) + dist[None, :]
+            wd_ok = np.asarray(ok) > 0.5 if np.ndim(ok) else np.ones(
+                wd_app.shape[0], bool)
+            for m, row, good in zip(np.asarray(prec_m), wd_app, wd_ok):
+                if good and np.isfinite(row).all():
+                    f.write(f"WD {m:.6f} "
+                            + " ".join(f"{v:.4f}" for v in row) + "\n")
+                    n_wd += 1
+    print(f"make-cmd: {valid.sum()} MS nodes + {n_wd} WD nodes -> {out}")
 
 
 def cmd_convert_models(args) -> None:

@@ -6,23 +6,45 @@ present (the driver runs it on one real TPU chip): many HMC chains vmapped
 on-chip, ESS computed from the recorded age samples, divided by the
 sampling-phase wall time.
 
-No published reference numbers exist (BASELINE.md): `vs_baseline` is the
-ratio against the documented working assumption of 5 effective samples/sec
-for BASE-9 C++ adaptive MH on a desktop CPU (hours-scale runs for
-few-hundred-star clusters per the BASE-9 manual; to be replaced by a
-measured number when base-cpp can be built — SURVEY.md §7 step 0).
+`vs_baseline` divides by the MEASURED proxy floor in
+BASELINE_MEASURED.json when present (reference-parity 1-chain adaptive
+MH on CPU, produced by bench_baseline.py — base-cpp itself is not
+buildable offline, SURVEY.md §7 step 0), else by the documented
+working assumption of 5 effective samples/sec from the BASE-9 manual's
+hours-scale runs.  The JSON `detail.baseline` says which was used.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 ASSUMED_REFERENCE_ESS_PER_SEC = 5.0
+
+
+def _baseline_floor():
+    """Conservative divisor: the LARGER of the measured CPU-MH proxy and
+    the documented 5 ESS/s assumption, so a weak proxy run can never
+    inflate vs_baseline."""
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BASELINE_MEASURED.json")
+    measured = None
+    try:
+        with open(p) as f:
+            measured = float(json.load(f)["ess_per_sec"])
+    except (OSError, KeyError, ValueError):
+        pass
+    if measured is not None and measured > ASSUMED_REFERENCE_ESS_PER_SEC:
+        return measured, "measured MH proxy (CPU, 1 chain)"
+    label = "assumed 5 ESS/s (BASE-9 manual)"
+    if measured is not None:
+        label += f"; measured proxy {measured} ESS/s is lower"
+    return ASSUMED_REFERENCE_ESS_PER_SEC, label
 
 
 def main(smoke: bool = False):
@@ -78,19 +100,28 @@ def main(smoke: bool = False):
     xs = jax.vmap(jax.vmap(tr.forward))(zs)
     ess_age = float(diag.ess(xs[:, :, :1])[0])
     value = ess_age / dt
+    floor, floor_label = _baseline_floor()
     n_leapfrog_evals = (cfg.n_warmup + cfg.n_samples) * cfg.l_max * n_chains
+    # FLOP estimate for the dominant per-(star, segment) marginal work
+    # (alpha/beta/gamma band contraction + transcendental tail), fwd+VJP.
+    T = (64 - 1) * 8
+    flops_per_eval = n_stars * T * (8 * 8 + 50) * 3.0
     result = {
         "metric": "effective samples/sec (cluster age), NGC188-scale, 1 chip",
         "value": round(value, 2),
         "unit": "ESS/s",
-        "vs_baseline": round(value / ASSUMED_REFERENCE_ESS_PER_SEC, 2),
+        "vs_baseline": round(value / floor, 2),
         "detail": {
             "ess_age": round(ess_age, 1),
             "wall_s": round(dt, 3),
             "accept": round(float(info["accept_prob"]), 3),
             "logpost_grad_evals_per_sec": round(n_leapfrog_evals / dt, 1),
+            "est_tflops": round(
+                n_leapfrog_evals * flops_per_eval / dt / 1e12, 3),
             "chains": n_chains,
             "stars": n_stars,
+            "baseline": floor_label,
+            "baseline_ess_per_sec": floor,
             "backend": jax.default_backend(),
         },
     }

@@ -98,11 +98,15 @@ def test_full_workflow(workdir):
         main(_args(workdir, ["sample-wd-mass"] + base + ["--photFile", phot_file]))
         assert os.path.exists(str(workdir / "run.wdMassSamples"))
 
-    # make-cmd
+    # make-cmd: stage column + upsampled MS sequence + WD cooling sequence
     main(_args(workdir, ["make-cmd"] + base))
-    cmd = np.loadtxt(str(workdir / "run.cmd"), skiprows=1)
-    assert cmd.shape[1] == 9  # mass + 8 bands
-    assert (np.diff(cmd[:, 0]) > 0).all()
+    raw = np.loadtxt(str(workdir / "run.cmd"), skiprows=1, dtype=str)
+    stages, vals = raw[:, 0], raw[:, 1:].astype(float)
+    assert vals.shape[1] == 9  # mass + 8 bands
+    ms = vals[stages == "MS"]
+    assert (np.diff(ms[:, 0]) > 0).all()
+    assert (stages == "WD").sum() > 0
+    assert np.isfinite(vals).all()
 
 
 def test_phot_roundtrip(workdir, rng):
