@@ -319,14 +319,28 @@ def warmup(
     # the density+VJP in the program costs real XLA compile time (minutes
     # at production chain counts through the TPU tunnel), and the window
     # body is identical up to the mass-matrix carry.
+    #
+    # Schedule (Stan-shaped, adapted to equal-length windows):
+    #   window 0 .. n-2   "slow": DA + metric re-estimation AFTER each —
+    #                     the estimate from window w drives window w+1;
+    #   window n-1        "terminal": eps-only DA under the FINAL metric.
+    # Two invariants the r2 code broke (and that broke sampling — the
+    # frozen eps was adapted under a metric the sampler never used,
+    # freezing chains at accept ~ 1):
+    #   1. every metric estimate is USED by a later window (the old
+    #      `w >= 1` gate silently discarded window 0's estimate, so with
+    #      n_windows = 2 the whole warmup ran under the identity metric
+    #      while sampling ran under an unadapted posterior-var metric);
+    #   2. dual averaging RESTARTS when the metric changes (anchored at
+    #      the current eps), so the frozen eps = the terminal window's
+    #      DA average, adapted under exactly the sampling metric.
     mask = cfg.mask_array(P)
 
     def window(carry, w):
         states, inv_mass = carry
         states, zs = warmup_segment(states, inv_mass)
         # Pooled cross-chain (co)variance -> mass matrix
-        # (inv_mass = Sigma ~ posterior covariance); the first window
-        # keeps the identity metric (too few samples to estimate).
+        # (inv_mass = Sigma ~ posterior covariance).
         # Pinned dims get a unit diagonal and zero cross terms — their
         # warmup samples are frozen, and without the projection the
         # dense metric would be singular in those directions.
@@ -339,7 +353,24 @@ def warmup(
         else:
             _, var = _pooled_mean_var(zs, axis_name)
             est = (var + 1e-6) * mask + (1.0 - mask)
-        inv_mass = jnp.where(w >= 1, est, inv_mass)
+        update = w < cfg.n_windows - 1   # last window: metric frozen
+        inv_mass = jnp.where(update, est, inv_mass)
+        # Restart dual averaging at the current per-chain eps whenever
+        # the metric changes (Stan's behavior): h_avg/count reset, mu
+        # re-anchored, so the next window re-adapts from a warm start
+        # and its DA average reflects only the current metric.
+        da = states.da
+        fresh = DAState(
+            log_eps=da.log_eps,
+            log_eps_avg=da.log_eps,
+            h_avg=jnp.zeros_like(da.h_avg),
+            mu=jnp.log(10.0) + da.log_eps,
+            count=jnp.zeros_like(da.count),
+        )
+        da = jax.tree_util.tree_map(
+            lambda f, o: jnp.where(update, f, o), fresh, da
+        )
+        states = states._replace(da=da)
         return (states, inv_mass), None
 
     (states, inv_mass), _ = jax.lax.scan(
@@ -348,6 +379,8 @@ def warmup(
 
     # Freeze step size at the cross-chain mean of the DA average (a mean,
     # not a median, so it pools exactly across shards with one psum).
+    # With the per-window restart this average covers only the terminal
+    # window, i.e. eps adapted under the final metric.
     le = jnp.mean(states.da.log_eps_avg)
     if axis_name is not None:
         le = jax.lax.pmean(le, axis_name)

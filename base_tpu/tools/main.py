@@ -761,16 +761,22 @@ def cmd_make_cmd(args) -> None:
             # max precursor mass, evolved through IFMR -> cooling ->
             # atmosphere (DA) exactly as the likelihood's WD branch.
             tip = float(iso.agb_tip)
-            prec_m = jnp.linspace(
-                tip * 1.01, float(C.MAX_WD_PRECURSOR_MASS), 64
-            )
+            start = tip * 1.01
+            if start >= float(C.MAX_WD_PRECURSOR_MASS):
+                # Young cluster: the AGB tip already exceeds the largest
+                # WD precursor — there is no WD sequence to draw (an
+                # increasing linspace from here would fabricate one).
+                print(f"make-cmd: {valid.sum()} MS nodes + 0 WD nodes "
+                      f"(AGB tip {tip:.2f} above max precursor) -> {out}")
+                return
+            prec_m = jnp.linspace(start, float(C.MAX_WD_PRECURSOR_MASS), 64)
             pj = jnp.asarray(p)
             prec = wd_mod.wd_prec_logage(
                 bundle.ms, pj[C.Param.FEH], pj[C.Param.YYY], prec_m)
             delta = jnp.clip(prec - pj[C.Param.AGE], -30.0, -1e-4)
             log_cool = pj[C.Param.AGE] + jnp.log10(1.0 - 10.0 ** delta)
             m_wd = ifmr_mod.ifmr_mass(bundle.ifmr_kind, prec_m, pj)
-            lt, lr, _ = jax.vmap(
+            lt, lr, cool_ok = jax.vmap(
                 lambda m, a: wd_teff_radius(
                     bundle.wd_cooling, pj[C.Param.CARBONICITY], m, a)
             )(m_wd, log_cool)
@@ -779,8 +785,13 @@ def cmd_make_cmd(args) -> None:
             mda, ok = jax.vmap(
                 lambda t, g: atm_mags(bundle.wd_atm, t, g, 0))(lt, logg)
             wd_app = np.asarray(mda) + dist[None, :]
+            # A node is real only when BOTH interpolations are in-hull:
+            # the cooling grid's flag (clamped Teff/radius otherwise) and
+            # the atmosphere grid's — same validity rule as the
+            # likelihood's WD branch (model/wd.py wd_model_mags).
             wd_ok = np.asarray(ok) > 0.5 if np.ndim(ok) else np.ones(
                 wd_app.shape[0], bool)
+            wd_ok = wd_ok & (np.asarray(cool_ok) > 0.5)
             for m, row, good in zip(np.asarray(prec_m), wd_app, wd_ok):
                 if good and np.isfinite(row).all():
                     f.write(f"WD {m:.6f} "

@@ -37,7 +37,7 @@ def _baseline_floor():
     try:
         with open(p) as f:
             measured = float(json.load(f)["ess_per_sec"])
-    except (OSError, KeyError, ValueError):
+    except (OSError, KeyError, ValueError, TypeError):
         pass
     if measured is not None and measured > ASSUMED_REFERENCE_ESS_PER_SEC:
         return measured, "measured MH proxy (CPU, 1 chain)"
