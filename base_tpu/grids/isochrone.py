@@ -81,7 +81,7 @@ class Isochrone:
     mass_sorted: Array  # [E] mass with pad slots pushed high
     min_mass: Array     # scalar: smallest valid mass on the isochrone
 
-    def mags_at_mass(self, m: Array) -> Array:
+    def mags_at_mass(self, m: Array, smooth: bool = True) -> Array:
         """Piecewise-linear lookup of absolute mags at ZAMS mass m.
 
         Analog of the reference `msRgbEvol(mass)` [SURVEY.md C5].  Queries
@@ -92,8 +92,21 @@ class Isochrone:
         per proposal made searchsorted+gather the hottest op in the HMC
         leapfrog; hat-weights + one [Q,E]@[E,B] matmul run on the MXU
         instead (see ops.interp.hat_weight_matrix).
+
+        smooth=True (smoothstep weights) is the default: the C^0 hat
+        lookup puts gradient kinks in the log posterior at every node
+        crossing of the E*Q secondary queries, capping the HMC step
+        size ~50x below the posterior scale (ops.interp docstring).
+
+        The SIMULATOR passes smooth=False: the marginal likelihood's
+        segment-exact integral models magnitudes as piecewise-LINEAR in
+        mass, so simulated single stars must be drawn from exactly that
+        curve — a smoothstep draw against a linear likelihood biased
+        the SBC modulus ranks one-sided.  Smoothing matters only where
+        theta-gradients flow (the likelihood's secondary lookup).
         """
-        return iops.interp1d_dense(self.mass_sorted, self.mags, m)
+        return iops.interp1d_dense(self.mass_sorted, self.mags, m,
+                                   smooth=smooth)
 
 
 def derive_isochrone(grid: IsochroneGrid, feh, y, age) -> Isochrone:

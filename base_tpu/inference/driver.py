@@ -115,6 +115,78 @@ def run_checkpointed(
     return samples, info
 
 
+def make_hmc_chunked_runner(
+    logpost_fn: Callable,
+    cfg: hmc_mod.HMCConfig,
+    chunk_draws: int = 256,
+) -> Callable:
+    """Host-chunked HMC: one device execution per warmup window plus
+    bounded sampling-chunk executions.  Bit-identical to run_hmc (same
+    RNG stream — verified by the warmup-parity test), but no single
+    device execution runs longer than one window / one chunk.  Required
+    on the tunneled TPU, where a single execution above ~60 s of device
+    time is killed (UNAVAILABLE 'TPU device error';
+    scripts/probe_bigbatch.py isolates it), and generally the right
+    shape for production: the chunk boundary is where checkpoints and
+    streaming diagnostics attach (run_checkpointed).
+
+    Returns `run(init_z, key, n_samples=None) -> (samples, info)` like
+    run_hmc.  The jitted window/init/chunk programs live in THIS closure
+    so repeated `run` calls (e.g. a bench warm pass then a timed pass)
+    hit the compile cache — constructing them per call would retrace
+    and recompile everything each time.
+    """
+    win = jax.jit(hmc_mod.make_warmup_window(logpost_fn, cfg))
+    init_fn = jax.jit(
+        lambda z, k: hmc_mod.init_chains(logpost_fn, z, k, cfg)
+    )
+    chunk = min(chunk_draws, cfg.n_samples // cfg.thin)
+    step = jax.jit(
+        lambda st, im, e: hmc_mod.sample_chunk(
+            logpost_fn, st, im, e, chunk, cfg
+        )
+    )
+
+    def run(init_z: Array, key: Array, n_samples: int | None = None):
+        P = init_z.shape[-1]
+        inv_mass = jnp.eye(P) if cfg.dense_mass else jnp.ones((P,))
+        states = init_fn(init_z, key)
+        for w in range(cfg.n_windows):
+            states, inv_mass = win(states, inv_mass, jnp.asarray(w))
+        eps = hmc_mod.freeze_step_size(states)
+
+        n_rec = (cfg.n_samples if n_samples is None else n_samples) // cfg.thin
+        n_chunks = (n_rec + chunk - 1) // chunk
+        zs_all, lps_all, aps_all = [], [], []
+        for _ in range(n_chunks):
+            states, zs, lps, aps = step(states, inv_mass, eps)
+            zs_all.append(jnp.swapaxes(zs, 0, 1))
+            lps_all.append(jnp.swapaxes(lps, 0, 1))
+            aps_all.append(jnp.mean(aps))
+        samples = jnp.concatenate(zs_all, axis=0)[:n_rec]
+        info = dict(
+            accept_prob=jnp.mean(jnp.stack(aps_all)),
+            step_size=eps,
+            inv_mass=inv_mass,
+            logposts=jnp.concatenate(lps_all, axis=0)[:n_rec],
+            final_states=states,
+        )
+        return samples, info
+
+    return run
+
+
+def run_hmc_chunked(
+    logpost_fn: Callable,
+    init_z: Array,   # [C, P]
+    key: Array,
+    cfg: hmc_mod.HMCConfig,
+    chunk_draws: int = 256,
+):
+    """One-shot convenience wrapper over make_hmc_chunked_runner."""
+    return make_hmc_chunked_runner(logpost_fn, cfg, chunk_draws)(init_z, key)
+
+
 def run_hmc_checkpointed(
     logpost_fn: Callable,
     init_z: Array,   # [C, P]
@@ -127,11 +199,19 @@ def run_hmc_checkpointed(
     n_rec = cfg.n_samples // cfg.thin
     chunk = min(dcfg.chunk_size, n_rec)
 
-    warm = jax.jit(
-        lambda z, k: hmc_mod.warmup(
-            logpost_fn, hmc_mod.init_chains(logpost_fn, z, k, cfg), cfg
-        )
-    )
+    def warm(z, k):
+        # Per-window device executions (tunnel-safe; see run_hmc_chunked)
+        # — bit-identical to one-shot hmc.warmup.
+        P = z.shape[-1]
+        states = jax.jit(
+            lambda zz, kk: hmc_mod.init_chains(logpost_fn, zz, kk, cfg)
+        )(z, k)
+        win = jax.jit(hmc_mod.make_warmup_window(logpost_fn, cfg))
+        inv_mass = jnp.eye(P) if cfg.dense_mass else jnp.ones((P,))
+        for w in range(cfg.n_windows):
+            states, inv_mass = win(states, inv_mass, jnp.asarray(w))
+        return states, inv_mass, hmc_mod.freeze_step_size(states)
+
     step = jax.jit(
         lambda st, im, eps: hmc_mod.sample_chunk(
             logpost_fn, st, im, eps, chunk, cfg

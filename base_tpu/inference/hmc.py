@@ -54,6 +54,13 @@ class HMCConfig:
     # eps^2-scaled noise, and dense cross terms corrupt the live dims —
     # observed as accept == 0 on the multipop posterior).
     free_mask: tuple | None = None
+    # Max chains evaluated concurrently inside one device's vmap.  None =
+    # all at once.  At large chain counts the batched density's [C, S, T]
+    # intermediates (and their VJP residuals) exhaust HBM; chunking runs
+    # chain blocks sequentially under lax.map — peak memory is one
+    # block's, cross-chain pooling (metric/eps, BETWEEN windows on the
+    # collected [C, n, P] samples) is unchanged.
+    chain_chunk: int | None = None
 
     def mask_array(self, P: int) -> Array:
         if self.free_mask is None:
@@ -269,6 +276,24 @@ def _pooled_cov(zs: Array, axis_name: str | None) -> Array:
     return w * cov + reg * jnp.eye(P)
 
 
+def _vmap_chains(f, states, chunk: int | None):
+    """vmap `f` over the leading chain axis, optionally in sequential
+    blocks of `chunk` chains (lax.map) so peak memory is one block's.
+    Falls back to a plain vmap when chunking is off or does not divide
+    the chain count."""
+    C = jax.tree_util.tree_leaves(states)[0].shape[0]
+    if chunk is None or chunk >= C or C % chunk != 0:
+        return jax.vmap(f)(states)
+    G = C // chunk
+    blocks = jax.tree_util.tree_map(
+        lambda x: x.reshape((G, chunk) + x.shape[1:]), states
+    )
+    out = jax.lax.map(lambda b: jax.vmap(f)(b), blocks)
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((-1,) + x.shape[2:]), out
+    )
+
+
 def init_chains(
     logpost_fn: Callable, init_z: Array, key: Array, cfg: HMCConfig
 ) -> HMCChainState:
@@ -286,6 +311,97 @@ def init_chains(
     )
 
 
+def _window_update(states, inv_mass, zs, w, cfg: HMCConfig, mask,
+                   axis_name):
+    """Between-window adaptation step, shared by the in-program scan
+    (warmup) and the host-chunked path (make_warmup_window).
+
+    Pooled cross-chain (co)variance -> mass matrix (inv_mass = Sigma ~
+    posterior covariance).  Pinned dims get a unit diagonal and zero
+    cross terms — their warmup samples are frozen, and without the
+    projection the dense metric would be singular in those directions.
+    The LAST window keeps its incoming metric (terminal eps-only window)
+    and its DA average becomes the frozen step size; every earlier
+    window installs its estimate and restarts dual averaging at the
+    current per-chain eps (Stan's behavior: h_avg/count reset, mu
+    re-anchored), so the terminal DA average reflects only the final
+    metric."""
+    if cfg.dense_mass:
+        est = _pooled_cov(zs, axis_name)
+        est = (
+            est * (mask[:, None] * mask[None, :])
+            + jnp.diag(1.0 - mask)
+        )
+    else:
+        _, var = _pooled_mean_var(zs, axis_name)
+        est = (var + 1e-6) * mask + (1.0 - mask)
+    update = w < cfg.n_windows - 1   # last window: metric frozen
+    inv_mass = jnp.where(update, est, inv_mass)
+    da = states.da
+    fresh = DAState(
+        log_eps=da.log_eps,
+        log_eps_avg=da.log_eps,
+        h_avg=jnp.zeros_like(da.h_avg),
+        mu=jnp.log(10.0) + da.log_eps,
+        count=jnp.zeros_like(da.count),
+    )
+    da = jax.tree_util.tree_map(
+        lambda f, o: jnp.where(update, f, o), fresh, da
+    )
+    return states._replace(da=da), inv_mass
+
+
+def make_warmup_window(
+    logpost_fn: Callable,
+    cfg: HMCConfig,
+    axis_name: str | None = None,
+) -> Callable:
+    """One warmup window as a standalone jittable function
+    `(states, inv_mass, w) -> (states, inv_mass)`.
+
+    Host-looping this over w = 0..n_windows-1 is EXACTLY warmup() (same
+    RNG stream, same updates), but each device execution is one window
+    long — required on the tunneled TPU, where a single execution
+    above ~60 s of device time is killed (observed as 'UNAVAILABLE:
+    TPU device error'; scripts/probe_bigbatch.py).  Finish with
+    `freeze_step_size(states, axis_name)` for the sampling eps.
+    """
+
+    def window_fn(states, inv_mass, w):
+        P = states.z.shape[-1]
+        mask = cfg.mask_array(P)
+        vgrad = jax.value_and_grad(logpost_fn)
+        seg_len = max(cfg.n_warmup // cfg.n_windows, 1)
+        chol = _metric_chol(inv_mass)
+
+        def one_chain(st):
+            def body(st, _):
+                eps = jnp.exp(st.da.log_eps)
+                st2, ap = hmc_transition(vgrad, st, eps, inv_mass, cfg,
+                                         chol=chol)
+                st2 = st2._replace(
+                    da=da_update(st2.da, ap, cfg.target_accept))
+                return st2, st2.z
+
+            return jax.lax.scan(body, st, None, length=seg_len)
+
+        states, zs = _vmap_chains(one_chain, states, cfg.chain_chunk)
+        return _window_update(states, inv_mass, zs, w, cfg, mask,
+                              axis_name)
+
+    return window_fn
+
+
+def freeze_step_size(states: HMCChainState,
+                     axis_name: str | None = None) -> Array:
+    """Frozen sampling eps = cross-chain mean of the terminal window's
+    DA average (see warmup)."""
+    le = jnp.mean(states.da.log_eps_avg)
+    if axis_name is not None:
+        le = jax.lax.pmean(le, axis_name)
+    return jnp.exp(le)
+
+
 def warmup(
     logpost_fn: Callable,
     states: HMCChainState,
@@ -293,98 +409,41 @@ def warmup(
     axis_name: str | None = None,
 ):
     """Windowed warmup: per-chain dual averaging + pooled cross-chain
-    mass estimation between windows.  Returns (states, inv_mass, eps)."""
+    mass estimation between windows.  Returns (states, inv_mass, eps).
+
+    Windows run as a lax.scan over the shared make_warmup_window body
+    (not a Python unroll): each extra copy of the density+VJP in the
+    program costs real XLA compile time (minutes at production chain
+    counts through the TPU tunnel).
+
+    Schedule (Stan-shaped, adapted to equal-length windows):
+      window 0 .. n-2   "slow": DA + metric re-estimation AFTER each —
+                        the estimate from window w drives window w+1;
+      window n-1        "terminal": eps-only DA under the FINAL metric.
+    Two invariants the r2 code broke (and that broke sampling — the
+    frozen eps was adapted under a metric the sampler never used,
+    freezing chains at accept ~ 1):
+      1. every metric estimate is USED by a later window (the old
+         `w >= 1` gate silently discarded window 0's estimate, so with
+         n_windows = 2 the whole warmup ran under the identity metric
+         while sampling ran under an unadapted posterior-var metric);
+      2. dual averaging RESTARTS when the metric changes (anchored at
+         the current eps), so the frozen eps = the terminal window's
+         DA average, adapted under exactly the sampling metric.
+    """
     P = states.z.shape[-1]
-    vgrad = jax.value_and_grad(logpost_fn)
     inv_mass0 = jnp.eye(P) if cfg.dense_mass else jnp.ones((P,))
-    seg_len = max(cfg.n_warmup // cfg.n_windows, 1)
-
-    def warmup_segment(states, inv_mass):
-        chol = _metric_chol(inv_mass)  # once per window, not per step
-
-        def one_chain(st):
-            def body(st, _):
-                eps = jnp.exp(st.da.log_eps)
-                st2, ap = hmc_transition(vgrad, st, eps, inv_mass, cfg,
-                                         chol=chol)
-                st2 = st2._replace(da=da_update(st2.da, ap, cfg.target_accept))
-                return st2, st2.z
-
-            return jax.lax.scan(body, st, None, length=seg_len)
-
-        states, zs = jax.vmap(one_chain)(states)  # zs [C, n, P]
-        return states, zs
-
-    # Windows run as a lax.scan (not a Python unroll): each extra copy of
-    # the density+VJP in the program costs real XLA compile time (minutes
-    # at production chain counts through the TPU tunnel), and the window
-    # body is identical up to the mass-matrix carry.
-    #
-    # Schedule (Stan-shaped, adapted to equal-length windows):
-    #   window 0 .. n-2   "slow": DA + metric re-estimation AFTER each —
-    #                     the estimate from window w drives window w+1;
-    #   window n-1        "terminal": eps-only DA under the FINAL metric.
-    # Two invariants the r2 code broke (and that broke sampling — the
-    # frozen eps was adapted under a metric the sampler never used,
-    # freezing chains at accept ~ 1):
-    #   1. every metric estimate is USED by a later window (the old
-    #      `w >= 1` gate silently discarded window 0's estimate, so with
-    #      n_windows = 2 the whole warmup ran under the identity metric
-    #      while sampling ran under an unadapted posterior-var metric);
-    #   2. dual averaging RESTARTS when the metric changes (anchored at
-    #      the current eps), so the frozen eps = the terminal window's
-    #      DA average, adapted under exactly the sampling metric.
-    mask = cfg.mask_array(P)
+    window_fn = make_warmup_window(logpost_fn, cfg, axis_name)
 
     def window(carry, w):
         states, inv_mass = carry
-        states, zs = warmup_segment(states, inv_mass)
-        # Pooled cross-chain (co)variance -> mass matrix
-        # (inv_mass = Sigma ~ posterior covariance).
-        # Pinned dims get a unit diagonal and zero cross terms — their
-        # warmup samples are frozen, and without the projection the
-        # dense metric would be singular in those directions.
-        if cfg.dense_mass:
-            est = _pooled_cov(zs, axis_name)
-            est = (
-                est * (mask[:, None] * mask[None, :])
-                + jnp.diag(1.0 - mask)
-            )
-        else:
-            _, var = _pooled_mean_var(zs, axis_name)
-            est = (var + 1e-6) * mask + (1.0 - mask)
-        update = w < cfg.n_windows - 1   # last window: metric frozen
-        inv_mass = jnp.where(update, est, inv_mass)
-        # Restart dual averaging at the current per-chain eps whenever
-        # the metric changes (Stan's behavior): h_avg/count reset, mu
-        # re-anchored, so the next window re-adapts from a warm start
-        # and its DA average reflects only the current metric.
-        da = states.da
-        fresh = DAState(
-            log_eps=da.log_eps,
-            log_eps_avg=da.log_eps,
-            h_avg=jnp.zeros_like(da.h_avg),
-            mu=jnp.log(10.0) + da.log_eps,
-            count=jnp.zeros_like(da.count),
-        )
-        da = jax.tree_util.tree_map(
-            lambda f, o: jnp.where(update, f, o), fresh, da
-        )
-        states = states._replace(da=da)
+        states, inv_mass = window_fn(states, inv_mass, w)
         return (states, inv_mass), None
 
     (states, inv_mass), _ = jax.lax.scan(
         window, (states, inv_mass0), jnp.arange(cfg.n_windows)
     )
-
-    # Freeze step size at the cross-chain mean of the DA average (a mean,
-    # not a median, so it pools exactly across shards with one psum).
-    # With the per-window restart this average covers only the terminal
-    # window, i.e. eps adapted under the final metric.
-    le = jnp.mean(states.da.log_eps_avg)
-    if axis_name is not None:
-        le = jax.lax.pmean(le, axis_name)
-    return states, inv_mass, jnp.exp(le)
+    return states, inv_mass, freeze_step_size(states, axis_name)
 
 
 def sample_chunk(
@@ -412,7 +471,7 @@ def sample_chunk(
 
         return jax.lax.scan(body, st, None, length=n_record)
 
-    states, (zs, lps, aps) = jax.vmap(one_chain)(states)
+    states, (zs, lps, aps) = _vmap_chains(one_chain, states, cfg.chain_chunk)
     return states, zs, lps, aps
 
 

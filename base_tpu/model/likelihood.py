@@ -86,7 +86,16 @@ def combined_node_mags(
     m2 = iso.mass[:, None] * q_grid[None, :]  # [E, Q]
     mags2 = iso.mags_at_mass(m2.reshape(-1))  # [E*Q, B]
     app2 = mags2.reshape(E, Q, -1) + dist
-    lit = (m2 >= iso.min_mass).astype(app2.dtype)  # [E, Q]
+    # Companions below the isochrone's lowest valid mass are dark.  The
+    # cutoff is a RAMP over a small mass width, not a step: a hard
+    # (m2 >= min_mass) indicator makes the density discontinuous in the
+    # cluster parameters (every (e, q) node crossing min_mass as the
+    # isochrone shifts jumps the combined flux by the faintest node's
+    # flux), and those jumps cap the HMC step size far below the
+    # posterior scale.  The ramp is the same piecewise-linear smoothness
+    # class as the interpolation model itself.
+    w = 0.05 * iso.min_mass + 1e-6
+    lit = jnp.clip((m2 - (iso.min_mass - w)) / w, 0.0, 1.0)  # [E, Q]
     f2 = jnp.exp(-LN10_04 * app2) * lit[..., None]
     return -(1.0 / LN10_04) * jnp.log(f1[:, None, :] + f2)  # [E, Q, B]
 
@@ -290,6 +299,23 @@ def field_mixture_total(stars: MSStars, log_clust: Array) -> Array:
     return jnp.sum(per_star * stars.star_mask)
 
 
+def mass_prior_log_norm(table: SegmentTable) -> Array:
+    """log Z(theta) = log of the total IMF x dM (x dm2) weight over the
+    valid segments — the normalizer of the per-star mass prior.
+
+    The reference leaves its mass integral unnormalized [upstream:
+    base9/marg.cpp], but Z varies with theta (the integration hull —
+    AGB tip, lowest EEP — moves with age/FeH/Y), so the unnormalized
+    marginal carries a spurious Z(theta)^S factor that measurably
+    biases the posterior low in modulus/FeH: SBC rank histograms pile
+    one-sided for any sampler that actually converges (the skew was
+    invisible to short under-mixed MH runs and surfaced when HMC
+    started mixing).  Normalizing makes p(obs | theta) a proper
+    density, which the field mixture also needs.
+    """
+    return masked_logsumexp(table.logw, table.mask, axis=-1)
+
+
 def ms_total_loglik(
     stars: MSStars, table: SegmentTable, use_pallas: bool = False
 ) -> Array:
@@ -307,6 +333,7 @@ def ms_total_loglik(
         )
     else:
         log_clust = ms_star_log_marginals(stars, table)
+    log_clust = log_clust - mass_prior_log_norm(table)
     return field_mixture_total(stars, log_clust)
 
 

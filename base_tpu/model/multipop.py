@@ -144,7 +144,11 @@ def log_post(model: MultiPopModel, params: Array) -> Array:
             iso, model.q_grid, mod, av, model.abs_coefs,
             binaries=model.binaries, uniform_q=model.uniform_q,
         )
-        return lk.ms_star_log_marginals(model.stars, table), iso.in_bounds
+        # Normalized per population BEFORE the lambda mix — each
+        # population's mass-prior normalizer Z differs (its own hull).
+        lm = (lk.ms_star_log_marginals(model.stars, table)
+              - lk.mass_prior_log_norm(table))
+        return lm, iso.in_bounds
 
     la, in_a = marginals(ya)   # population A: fraction lambda
     lb, in_b = marginals(yb)   # population B: fraction 1 - lambda

@@ -18,7 +18,11 @@ from jax import Array
 
 from base_tpu import constants as C
 from base_tpu.grids import filters as filt
-from base_tpu.grids.isochrone import IsochroneGrid, derive_isochrone
+from base_tpu.grids.isochrone import (
+    IsochroneGrid,
+    derive_isochrone,
+    upsample_isochrone,
+)
 from base_tpu.model import likelihood as lk
 from base_tpu.model.priors import ClusterPriors
 from base_tpu.model.stardata import MSStars
@@ -50,6 +54,10 @@ class SinglePopModel:
     ifmr_kind: str = dataclasses.field(metadata=dict(static=True), default="linear")
     p_db: float = dataclasses.field(metadata=dict(static=True), default=0.1)
     use_pallas: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # Quadrature refinement: insert (upsample - 1) exact piecewise-linear
+    # nodes per EEP segment before marginalizing, so adjacent nodes differ
+    # by << sigma_obs in magnitude space (grids.isochrone.upsample_isochrone).
+    upsample: int = dataclasses.field(metadata=dict(static=True), default=1)
 
 
 def make_single_pop_model(
@@ -67,6 +75,7 @@ def make_single_pop_model(
     ifmr_kind: str = "linear",
     p_db: float = 0.1,
     use_pallas: bool = False,
+    upsample: int = 1,
 ) -> SinglePopModel:
     mz_grid = None
     if wd_stars is not None:
@@ -93,6 +102,7 @@ def make_single_pop_model(
         ifmr_kind=ifmr_kind,
         p_db=p_db,
         use_pallas=use_pallas,
+        upsample=upsample,
     )
 
 
@@ -108,6 +118,8 @@ def log_lik(model: SinglePopModel, params: Array) -> tuple[Array, Array]:
     av = params[C.Param.ABS]
 
     iso = derive_isochrone(model.grid, feh, y, age)
+    if model.upsample > 1:
+        iso = upsample_isochrone(iso, model.upsample)
     table = lk.build_segment_table(
         iso,
         model.q_grid,

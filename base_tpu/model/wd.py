@@ -122,6 +122,11 @@ def wd_star_log_marginals(
     logw = priors.log_imf(mz_grid) + jnp.log(jnp.maximum(dm, 1e-30))  # [K]
     mask = valid[None, None, :]
     marg = masked_logsumexp(ll + logw[None, None, :], mask, axis=-1)  # [2, S]
+    # Normalize the precursor-mass prior over the VALID nodes: the
+    # in-hull mask moves with theta (cooling/atmosphere hulls), so the
+    # unnormalized sum carries a spurious Z(theta) factor — same
+    # correction as likelihood.mass_prior_log_norm.
+    marg = marg - masked_logsumexp(logw, valid, axis=-1)
     lda, ldb = marg[0], marg[1]
     wa = jnp.log(jnp.clip(1.0 - p_db, 1e-6, 1.0))
     wb = jnp.log(jnp.clip(p_db, 1e-6, 1.0))

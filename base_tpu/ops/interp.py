@@ -128,7 +128,8 @@ def interp1d(x_axis: Array, y: Array, xq: Array) -> Array:
 _HUGE = 1.0e30  # virtual axis extension for boundary clamping
 
 
-def hat_weight_matrix(x_axis: Array, xq: Array) -> Array:
+def hat_weight_matrix(x_axis: Array, xq: Array,
+                      smooth: bool = False) -> Array:
     """Dense piecewise-linear interpolation weights W [Q, E].
 
     y(xq) == W @ y exactly (same lerp as interp1d, boundary-clamped),
@@ -148,6 +149,18 @@ def hat_weight_matrix(x_axis: Array, xq: Array) -> Array:
 
     Differentiable in BOTH xq and x_axis (the isochrone masses are
     proposal-dependent, so gradients must flow into the axis).
+
+    `smooth=True` replaces the clip by the symmetric smoothstep
+    S(t) = t^2 (3 - 2t): because S(1 - t) = 1 - S(t), the weights still
+    sum to exactly 1 and still hit the node values exactly, but the
+    interpolant becomes C^1 in the query (and in the axis).  This is the
+    HMC-critical variant: with plain hats, every secondary-mass query
+    crossing a node is a gradient kink in the log posterior, and the
+    E*Q crossings put kinks at ~1e-3 parameter scale that cap the
+    stable leapfrog step far below the posterior scale (measured: slope
+    jumps O(100-400) in d logpost / d age).  The weights stay in [0, 1]
+    and bracket the same two nodes, so there is no overshoot and no
+    change to hull clamping.
     """
     E = x_axis.shape[0]
     ext_lo = x_axis[:1] - _HUGE
@@ -159,11 +172,15 @@ def hat_weight_matrix(x_axis: Array, xq: Array) -> Array:
     q = xq.reshape(-1)                             # [Q]
     up = jnp.clip((q[:, None] - xl[None, :]) / dl[None, :], 0.0, 1.0)
     dn = jnp.clip((xr[None, :] - q[:, None]) / dr[None, :], 0.0, 1.0)
+    if smooth:
+        up = up * up * (3.0 - 2.0 * up)
+        dn = dn * dn * (3.0 - 2.0 * dn)
     w = up + dn - 1.0
     return w.reshape(xq.shape + (E,))
 
 
-def interp1d_dense(x_axis: Array, y: Array, xq: Array) -> Array:
+def interp1d_dense(x_axis: Array, y: Array, xq: Array,
+                   smooth: bool = False) -> Array:
     """interp1d via hat_weight_matrix: W @ y on the MXU, no gathers.
 
     Numerically identical to interp1d up to float32 reassociation; use
@@ -176,7 +193,7 @@ def interp1d_dense(x_axis: Array, y: Array, xq: Array) -> Array:
     chains freeze (observed as the r2 bench ESS collapse, 1008 -> 32
     effective samples at identical config).  The f32 6-pass matmul is
     still far cheaper than the searchsorted+gather path it replaced."""
-    w = hat_weight_matrix(x_axis, xq)              # [..., E]
+    w = hat_weight_matrix(x_axis, xq, smooth=smooth)  # [..., E]
     y2 = y.reshape(y.shape[0], -1)                 # [E, P]
     out = jnp.dot(
         w.reshape(-1, w.shape[-1]), y2,

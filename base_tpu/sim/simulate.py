@@ -97,9 +97,12 @@ def simulate_cluster(
     q = jnp.where(is_binary, jax.random.uniform(k3, (n_stars,)), 0.0)
 
     dist = mod + av * jnp.asarray(filt.absorption_coefs(grid.bands))
-    app1 = iso.mags_at_mass(m1) + dist  # [S, B]
+    # smooth=False: draw from the piecewise-LINEAR curve the sampler's
+    # segment-exact marginal integrates over (SBC self-consistency; see
+    # Isochrone.mags_at_mass).
+    app1 = iso.mags_at_mass(m1, smooth=False) + dist  # [S, B]
     m2 = q * m1
-    app2 = iso.mags_at_mass(m2) + dist
+    app2 = iso.mags_at_mass(m2, smooth=False) + dist
     lit = (m2 >= iso.min_mass)[:, None]
     f = jnp.exp(-LN10_04 * app1) + jnp.where(
         lit, jnp.exp(-LN10_04 * app2), 0.0

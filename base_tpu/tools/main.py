@@ -447,9 +447,12 @@ def cmd_single_pop(args) -> None:
 
                 zs, info = run_hmc_sharded(model, tr, init, hkey, cfg, mesh)
             else:
-                zs, info = jax.jit(lambda z, k: run_hmc(fz, z, k, cfg))(
-                    init, hkey
-                )
+                # Host-chunked executions (bit-identical to run_hmc):
+                # the tunneled TPU kills single device executions beyond
+                # ~60 s, which a production runIter would always exceed.
+                from base_tpu.inference.driver import run_hmc_chunked
+
+                zs, info = run_hmc_chunked(fz, init, hkey, cfg)
             accept = float(info["accept_prob"])
             lps = info["logposts"]
         xs = jax.vmap(jax.vmap(tr.forward))(zs)          # [N, C, 9]

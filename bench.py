@@ -2,9 +2,16 @@
 
 Runs the BASELINE.json config-1 scenario (simCluster-style simulated
 cluster, ~100 stars, fixed membership) end to end on whatever backend is
-present (the driver runs it on one real TPU chip): many HMC chains vmapped
-on-chip, ESS computed from the recorded age samples, divided by the
-sampling-phase wall time.
+present (the driver runs it on one real TPU chip): many HMC chains
+vmapped on-chip, ESS computed from the recorded age samples, divided by
+the end-to-end (warmup + sampling) wall time.
+
+Sampler config = the r3 saturation sweep's winner (BASELINE.md table):
+dense mass matrix (the age-FeH-modulus degeneracy ridge defeats a
+diagonal metric), l_max 48 (trajectory displacement ~ posterior scale),
+carbonicity/IFMR dims pinned (flat in an MS-only run — the reference
+pins them with zero step sizes too), 64 chains (chain counts >= 128
+currently fault the tunneled v5e device; see scripts/probe_bigbatch.py).
 
 `vs_baseline` divides by the MEASURED proxy floor in
 BASELINE_MEASURED.json when present (reference-parity 1-chain adaptive
@@ -52,7 +59,8 @@ def main(smoke: bool = False):
     import jax.numpy as jnp
 
     from base_tpu.inference import diagnostics as diag
-    from base_tpu.inference.hmc import HMCConfig, run_hmc
+    from base_tpu.inference.driver import make_hmc_chunked_runner
+    from base_tpu.inference.hmc import HMCConfig
     from base_tpu.grids import synthetic
     from base_tpu.model import posterior as post
     from base_tpu.model.stardata import make_ms_stars
@@ -60,14 +68,18 @@ def main(smoke: bool = False):
     from base_tpu.sim.simulate import simulate_cluster
 
     truth = np.array([9.3, 0.27, -0.5, 10.0, 0.3, 0.5, 0, 0, 0], np.float32)
-    grid = synthetic.make_grid(n_eep=64)
+    n_eep = 64
+    grid = synthetic.make_grid(n_eep=n_eep)
     n_stars = 16 if smoke else 100
     n_chains = 4 if smoke else 64
+    n_q = 8
     cfg = HMCConfig(
         n_warmup=8 if smoke else 256,
-        n_samples=8 if smoke else 512,
-        l_max=4 if smoke else 16,
+        n_samples=8 if smoke else 1024,
+        l_max=4 if smoke else 48,
         n_windows=2 if smoke else 4,
+        dense_mass=True,
+        free_mask=(1, 1, 1, 1, 1, 0, 0, 0, 0),
     )
 
     cat = simulate_cluster(grid, jnp.asarray(truth), n_stars,
@@ -80,7 +92,7 @@ def main(smoke: bool = False):
         prior_mean=truth,
         prior_sigma=np.array([-1, -1, 0.3, 0.2, 0.1, -1, -1, -1, -1],
                              np.float32),
-        n_q=8,
+        n_q=n_q,
     )
     tr = post.default_transform(model)
     fz = post.make_logpost_z_fn(model, tr)
@@ -88,9 +100,17 @@ def main(smoke: bool = False):
     init = jnp.tile(z0[None, :], (n_chains, 1))
     init = init + 0.02 * jax.random.normal(jax.random.PRNGKey(2), init.shape)
 
-    runner = jax.jit(lambda z, k: run_hmc(fz, z, k, cfg))
-    # Warm the compile cache, then time a fresh run end to end.
-    zs, info = runner(init, jax.random.PRNGKey(3))
+    # Host-chunked executions: the tunneled chip kills single device
+    # executions beyond ~60 s, and chunk boundaries are where production
+    # runs checkpoint/stream anyway (inference.driver).  Each execution
+    # stays ~15 s at this config.
+    chunk_draws = 8 if smoke else 256
+    runner = make_hmc_chunked_runner(fz, cfg, chunk_draws=chunk_draws)
+
+    # Warm the compile cache with a 1-chunk run (the window and chunk
+    # programs are shared with the full run), then time a fresh full
+    # run end to end.
+    zs, info = runner(init, jax.random.PRNGKey(3), n_samples=chunk_draws)
     jax.block_until_ready(zs)
     t0 = time.perf_counter()
     zs, info = runner(init, jax.random.PRNGKey(4))
@@ -99,12 +119,14 @@ def main(smoke: bool = False):
 
     xs = jax.vmap(jax.vmap(tr.forward))(zs)
     ess_age = float(diag.ess(xs[:, :, :1])[0])
+    rhat_age = float(diag.split_rhat(xs[:, :, :1])[0])
     value = ess_age / dt
     floor, floor_label = _baseline_floor()
+    n_draws = cfg.n_samples * n_chains
     n_leapfrog_evals = (cfg.n_warmup + cfg.n_samples) * cfg.l_max * n_chains
     # FLOP estimate for the dominant per-(star, segment) marginal work
     # (alpha/beta/gamma band contraction + transcendental tail), fwd+VJP.
-    T = (64 - 1) * 8
+    T = (n_eep - 1) * n_q
     flops_per_eval = n_stars * T * (8 * 8 + 50) * 3.0
     result = {
         "metric": "effective samples/sec (cluster age), NGC188-scale, 1 chip",
@@ -113,13 +135,17 @@ def main(smoke: bool = False):
         "vs_baseline": round(value / floor, 2),
         "detail": {
             "ess_age": round(ess_age, 1),
+            "ess_per_draw": round(ess_age / n_draws, 4),
+            "rhat_age": round(rhat_age, 4),
             "wall_s": round(dt, 3),
             "accept": round(float(info["accept_prob"]), 3),
+            "step_size": round(float(info["step_size"]), 4),
             "logpost_grad_evals_per_sec": round(n_leapfrog_evals / dt, 1),
             "est_tflops": round(
                 n_leapfrog_evals * flops_per_eval / dt / 1e12, 3),
             "chains": n_chains,
             "stars": n_stars,
+            "sampler": "hmc dense-metric l_max=48 (r3 sweep winner)",
             "baseline": floor_label,
             "baseline_ess_per_sec": floor,
             "backend": jax.default_backend(),

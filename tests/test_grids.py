@@ -76,7 +76,15 @@ def test_mags_at_mass_matches_physics():
     q = np.linspace(m[0] + 1e-3, m[-1] - 1e-3, 37).astype(np.float32)
     got = np.asarray(out.mags_at_mass(jnp.asarray(q)))
     want = synthetic.star_mags(q, age, feh, y, ("B", "V", "I"))
-    np.testing.assert_allclose(got, want, atol=5e-3)
+    # mags_at_mass uses smoothstep weights (C^1, HMC-critical; see
+    # ops.interp.hat_weight_matrix): interpolation error is first-order
+    # in the cell size like the linear scheme (max |S(t)-t| ~ 0.096 of
+    # the within-cell variation), so the bound loosens at the steep
+    # faint end.  upsample_isochrone shrinks it proportionally.
+    np.testing.assert_allclose(got, want, atol=2.5e-2)
+    up = iso.upsample_isochrone(out, 4)
+    got4 = np.asarray(up.mags_at_mass(jnp.asarray(q)))
+    np.testing.assert_allclose(got4, want, atol=8e-3)
 
 
 def test_eep_mass_weights_integrate(small_grid):
