@@ -34,7 +34,11 @@ from base_tpu.inference.hmc import (
     DAState,
     da_init,
     da_update,
-    _pooled_mean_var,
+    _kinetic,
+    _mass_matvec,
+    _metric_chol,
+    _sample_momentum,
+    _window_update,
 )
 from base_tpu.ops.special import NEG_INF
 from base_tpu.utils.vma import vma_like
@@ -50,6 +54,16 @@ class NUTSConfig:
     init_step: float = 0.05
     n_windows: int = 4
     max_delta_energy: float = 1000.0
+    # Same semantics as HMCConfig: full [P,P] metric from the pooled
+    # cross-chain covariance (the age-FeH-mod ridge defeats a diagonal
+    # one), and pinned density-flat dims.
+    dense_mass: bool = False
+    free_mask: tuple | None = None
+
+    def mask_array(self, P: int) -> Array:
+        if self.free_mask is None:
+            return jnp.ones((P,), jnp.float32)
+        return jnp.asarray(self.free_mask, jnp.float32)
 
 
 class _Point(NamedTuple):
@@ -70,16 +84,19 @@ class NUTSChainState(NamedTuple):
 def _uturn(z_a, p_a, z_b, p_b, inv_mass) -> Array:
     """U-turn between ordered endpoints a (left) and b (right)."""
     dz = z_b - z_a
-    return (jnp.dot(dz, inv_mass * p_a) < 0.0) | (
-        jnp.dot(dz, inv_mass * p_b) < 0.0
+    return (jnp.dot(dz, _mass_matvec(inv_mass, p_a)) < 0.0) | (
+        jnp.dot(dz, _mass_matvec(inv_mass, p_b)) < 0.0
     )
 
 
-def _leapfrog_one(vgrad, pt: _Point, eps, inv_mass, direction) -> _Point:
+def _leapfrog_one(vgrad, pt: _Point, eps, inv_mass, direction,
+                  mask=None) -> _Point:
     e = eps * direction
     p_half = pt.p + 0.5 * e * pt.grad
-    z_new = pt.z + e * inv_mass * p_half
+    z_new = pt.z + e * _mass_matvec(inv_mass, p_half)
     lp, g = vgrad(z_new)
+    if mask is not None:
+        g = g * mask
     p_new = p_half + 0.5 * e * g
     return _Point(z=z_new, p=p_new, grad=g, lp=lp)
 
@@ -90,19 +107,27 @@ def nuts_transition(
     eps: Array,
     inv_mass: Array,
     cfg: NUTSConfig,
+    chol: Array | None = None,
 ):
-    """One NUTS update.  Returns (state, accept_stat, n_leapfrog)."""
+    """One NUTS update.  Returns (state, accept_stat, n_leapfrog).
+
+    `chol` is the precomputed factor of inv_mass (hmc._metric_chol);
+    passing it keeps the factorization out of scan bodies."""
     P = state.z.shape[0]
     D = cfg.max_depth
+    mask = cfg.mask_array(P)
+    if chol is None:
+        chol = _metric_chol(inv_mass)
     key, k_mom = jax.random.split(state.key)
-    p0 = jax.random.normal(k_mom, (P,)) / jnp.sqrt(inv_mass)
-    ke0 = 0.5 * jnp.sum(p0 * p0 * inv_mass)
+    p0 = _sample_momentum(k_mom, chol, P) * mask
+    ke0 = _kinetic(inv_mass, p0)
     h0 = -state.logpost + ke0  # energy at start
 
-    init_pt = _Point(z=state.z, p=p0, grad=state.grad, lp=state.logpost)
+    init_pt = _Point(z=state.z, p=p0, grad=state.grad * mask,
+                     lp=state.logpost)
 
     def energy(pt: _Point) -> Array:
-        return -pt.lp + 0.5 * jnp.sum(pt.p * pt.p * inv_mass)
+        return -pt.lp + _kinetic(inv_mass, pt.p)
 
     # Tree carry --------------------------------------------------------
     # proposal: progressively-sampled point; logw: multinomial weight of
@@ -182,7 +207,8 @@ def nuts_transition(
 
         def sc_body(sc: SC):
             key, k_sel = jax.random.split(sc.key)
-            pt = _leapfrog_one(vgrad, sc.pt, eps, inv_mass, direction)
+            pt = _leapfrog_one(vgrad, sc.pt, eps, inv_mass, direction,
+                               mask=mask)
             h = energy(pt)
             h = jnp.where(jnp.isfinite(h), h, jnp.inf)
             dh = h - h0
@@ -293,6 +319,90 @@ def nuts_transition(
     return new_state, accept_stat, out.n_lf
 
 
+def init_nuts_chains(
+    logpost_fn: Callable, init_z: Array, key: Array, cfg: NUTSConfig
+) -> NUTSChainState:
+    """Initial per-chain state batch (vmapped leaves, leading axis C)."""
+    C, _ = init_z.shape
+    vgrad = jax.value_and_grad(logpost_fn)
+    keys = jax.random.split(key, C)
+    lp0, g0 = jax.vmap(vgrad)(init_z)
+    return NUTSChainState(
+        z=init_z, logpost=lp0, grad=g0, key=keys,
+        da=jax.tree_util.tree_map(
+            # constant-initialized DA state must enter the warmup scan
+            # with its steady-state vma (see utils/vma.py); no-op unsharded
+            lambda x: vma_like(x, lp0),
+            jax.vmap(lambda _: da_init(cfg.init_step))(jnp.arange(C)),
+        ),
+    )
+
+
+def make_nuts_warmup_window(
+    logpost_fn: Callable,
+    cfg: NUTSConfig,
+    axis_name: str | None = None,
+) -> Callable:
+    """One warmup window as a standalone jittable
+    `(states, inv_mass, w) -> (states, inv_mass)` — the NUTS analog of
+    hmc.make_warmup_window (same schedule, shared _window_update), for
+    host-chunked execution on the tunneled TPU."""
+    vgrad = jax.value_and_grad(logpost_fn)
+    seg_len = max(cfg.n_warmup // cfg.n_windows, 1)
+
+    def window_fn(states, inv_mass, w):
+        P = states.z.shape[-1]
+        mask = cfg.mask_array(P)
+        chol = _metric_chol(inv_mass)  # once per window, not per step
+
+        def one_chain(st):
+            def body(st, _):
+                eps = jnp.exp(st.da.log_eps)
+                st2, acc, _ = nuts_transition(vgrad, st, eps, inv_mass,
+                                              cfg, chol=chol)
+                st2 = st2._replace(
+                    da=da_update(st2.da, acc, cfg.target_accept)
+                )
+                return st2, st2.z
+
+            return jax.lax.scan(body, st, None, length=seg_len)
+
+        states, zs = jax.vmap(one_chain)(states)
+        return _window_update(states, inv_mass, zs, w, cfg, mask,
+                              axis_name)
+
+    return window_fn
+
+
+def nuts_sample_chunk(
+    logpost_fn: Callable,
+    states: NUTSChainState,
+    inv_mass: Array,
+    eps: Array,
+    n_record: int,
+    cfg: NUTSConfig,
+):
+    """Record `n_record` thinned draws from every chain.  Returns
+    (states, zs [C, n, P], lps [C, n], accs [C, n], nlfs [C, n])."""
+    vgrad = jax.value_and_grad(logpost_fn)
+    chol = _metric_chol(inv_mass)  # frozen metric: factor once
+
+    def one_chain(st):
+        def body(st, _):
+            def inner(s, _):
+                s2, acc, nlf = nuts_transition(
+                    vgrad, s, eps, inv_mass, cfg, chol=chol
+                )
+                return s2, (acc, nlf)
+
+            st, (accs, nlfs) = jax.lax.scan(inner, st, None, length=cfg.thin)
+            return st, (st.z, st.logpost, jnp.mean(accs), jnp.sum(nlfs))
+
+        return jax.lax.scan(body, st, None, length=n_record)
+
+    return jax.vmap(one_chain)(states)
+
+
 def run_nuts(
     logpost_fn: Callable,
     init_z: Array,   # [C, P]
@@ -303,45 +413,19 @@ def run_nuts(
     """Warmup (dual averaging + pooled mass windows) + sampling, NUTS
     kernel.  Same interface/contract as hmc.run_hmc."""
     C, P = init_z.shape
-    vgrad = jax.value_and_grad(logpost_fn)
-    keys = jax.random.split(key, C)
-    lp0, g0 = jax.vmap(vgrad)(init_z)
-    states = NUTSChainState(
-        z=init_z, logpost=lp0, grad=g0, key=keys,
-        da=jax.tree_util.tree_map(
-            # constant-initialized DA state must enter the warmup scan
-            # with its steady-state vma (see utils/vma.py); no-op unsharded
-            lambda x: vma_like(x, lp0),
-            jax.vmap(lambda _: da_init(cfg.init_step))(jnp.arange(C)),
-        ),
-    )
-    seg_len = max(cfg.n_warmup // cfg.n_windows, 1)
-
-    def warmup_segment(states, inv_mass):
-        def one_chain(st):
-            def body(st, _):
-                eps = jnp.exp(st.da.log_eps)
-                st2, acc, _ = nuts_transition(vgrad, st, eps, inv_mass, cfg)
-                st2 = st2._replace(
-                    da=da_update(st2.da, acc, cfg.target_accept)
-                )
-                return st2, st2.z
-
-            return jax.lax.scan(body, st, None, length=seg_len)
-
-        return jax.vmap(one_chain)(states)
+    states = init_nuts_chains(logpost_fn, init_z, key, cfg)
+    window_fn = make_nuts_warmup_window(logpost_fn, cfg, axis_name)
 
     # Windows as a lax.scan, not a Python unroll — each unrolled window
-    # duplicates the whole NUTS tree program in the HLO (see hmc.warmup).
+    # duplicates the whole NUTS tree program in the HLO.
     def window(carry, w):
         states, inv_mass = carry
-        states, zs = warmup_segment(states, inv_mass)
-        _, var = _pooled_mean_var(zs, axis_name)
-        inv_mass = jnp.where(w >= 1, var + 1e-6, inv_mass)
+        states, inv_mass = window_fn(states, inv_mass, w)
         return (states, inv_mass), None
 
+    inv_mass0 = jnp.eye(P) if cfg.dense_mass else jnp.ones((P,))
     (states, inv_mass), _ = jax.lax.scan(
-        window, (states, jnp.ones((P,))), jnp.arange(cfg.n_windows)
+        window, (states, inv_mass0), jnp.arange(cfg.n_windows)
     )
 
     le = jnp.mean(states.da.log_eps_avg)
@@ -349,27 +433,10 @@ def run_nuts(
         le = jax.lax.pmean(le, axis_name)
     eps_final = jnp.exp(le)
 
-    def sample_phase(states):
-        def one_chain(st):
-            def body(st, _):
-                def inner(s, _):
-                    s2, acc, nlf = nuts_transition(
-                        vgrad, s, eps_final, inv_mass, cfg
-                    )
-                    return s2, (acc, nlf)
-
-                st, (accs, nlfs) = jax.lax.scan(
-                    inner, st, None, length=cfg.thin
-                )
-                return st, (st.z, st.logpost, jnp.mean(accs), jnp.sum(nlfs))
-
-            return jax.lax.scan(
-                body, st, None, length=cfg.n_samples // cfg.thin
-            )
-
-        return jax.vmap(one_chain)(states)
-
-    states, (zs, lps, accs, nlfs) = sample_phase(states)
+    states, (zs, lps, accs, nlfs) = nuts_sample_chunk(
+        logpost_fn, states, inv_mass, eps_final,
+        cfg.n_samples // cfg.thin, cfg,
+    )
     samples = jnp.swapaxes(zs, 0, 1)
     info = dict(
         accept_prob=jnp.mean(accs),
@@ -380,3 +447,56 @@ def run_nuts(
         final_states=states,
     )
     return samples, info
+
+
+def make_nuts_chunked_runner(
+    logpost_fn: Callable,
+    cfg: NUTSConfig,
+    chunk_draws: int = 128,
+) -> Callable:
+    """Host-chunked NUTS (the hmc.make_hmc_chunked_runner analog): one
+    device execution per warmup window + bounded sampling chunks, so no
+    single execution exceeds the tunneled TPU's ~60 s kill.  NUTS
+    chunks default smaller than HMC's — each draw costs up to
+    2^max_depth leapfrogs.  Returns run(init_z, key, n_samples=None)."""
+    win = jax.jit(make_nuts_warmup_window(logpost_fn, cfg))
+    init_fn = jax.jit(
+        lambda z, k: init_nuts_chains(logpost_fn, z, k, cfg)
+    )
+    chunk = min(chunk_draws, cfg.n_samples // cfg.thin)
+    step = jax.jit(
+        lambda st, im, e: nuts_sample_chunk(
+            logpost_fn, st, im, e, chunk, cfg
+        )
+    )
+
+    def run(init_z: Array, key: Array, n_samples: int | None = None):
+        P = init_z.shape[-1]
+        inv_mass = jnp.eye(P) if cfg.dense_mass else jnp.ones((P,))
+        states = init_fn(init_z, key)
+        for w in range(cfg.n_windows):
+            states, inv_mass = win(states, inv_mass, jnp.asarray(w))
+        le = jnp.mean(states.da.log_eps_avg)
+        eps = jnp.exp(le)
+
+        n_rec = (cfg.n_samples if n_samples is None else n_samples) // cfg.thin
+        n_chunks = (n_rec + chunk - 1) // chunk
+        zs_all, lps_all, acc_all, nlf_all = [], [], [], []
+        for _ in range(n_chunks):
+            states, (zs, lps, accs, nlfs) = step(states, inv_mass, eps)
+            zs_all.append(jnp.swapaxes(zs, 0, 1))
+            lps_all.append(jnp.swapaxes(lps, 0, 1))
+            acc_all.append(jnp.mean(accs))
+            nlf_all.append(jnp.mean(nlfs.astype(jnp.float32)))
+        samples = jnp.concatenate(zs_all, axis=0)[:n_rec]
+        info = dict(
+            accept_prob=jnp.mean(jnp.stack(acc_all)),
+            step_size=eps,
+            inv_mass=inv_mass,
+            logposts=jnp.concatenate(lps_all, axis=0)[:n_rec],
+            mean_leapfrogs=jnp.mean(jnp.stack(nlf_all)),
+            final_states=states,
+        )
+        return samples, info
+
+    return run

@@ -113,10 +113,11 @@ class McmcSettings:
     warmup: int = 500
     lMax: int = 24
     targetAccept: float = 0.8
-    # Full-covariance HMC metric.  Off by default until the dense path is
-    # validated on real-TPU production runs; sampler=nuts uses a diagonal
-    # metric regardless (run_nuts has no dense-mass mode yet).
-    denseMass: bool = False
+    # Full-covariance metric (HMC and NUTS).  On by default since r3:
+    # the age-FeH-modulus degeneracy ridge defeats a diagonal metric
+    # (6x ESS/s on the r3 TPU sweep, BASELINE.md) and the dense path is
+    # validated on-chip.
+    denseMass: bool = True
     # quadrature
     nMassRatio: int = 16
     noBinaries: bool = False

@@ -310,15 +310,18 @@ def cmd_single_pop(args) -> None:
         if s.mcmc.sampler == "nuts":
             from base_tpu.inference.nuts import NUTSConfig, run_nuts
 
-            if s.mcmc.denseMass:
-                print(
-                    "single-pop: sampler=nuts uses a diagonal metric; "
-                    "mcmc.denseMass is ignored", file=sys.stderr,
-                )
+            live = np.ones(C.NPARAMS, np.float32)
+            live[C.Param.CARBONICITY :] = 0.0
+            if model.wd_stars is not None:
+                live[C.Param.CARBONICITY] = 1.0
+                if model.ifmr_kind in ("linear", "quadratic"):
+                    live[6:8] = 1.0
             ncfg = NUTSConfig(
                 n_warmup=s.mcmc.warmup,
                 n_samples=s.mcmc.runIter // n_chains,
                 thin=s.mcmc.thin, target_accept=s.mcmc.targetAccept,
+                dense_mass=s.mcmc.denseMass,
+                free_mask=tuple(float(v) for v in live),
             )
             if mesh is not None:
                 from base_tpu.parallel.run import run_nuts_sharded
@@ -328,7 +331,10 @@ def cmd_single_pop(args) -> None:
                 )
                 lps = jax.vmap(jax.vmap(fz))(zs)
             else:
-                zs, info = jax.jit(lambda z, k: run_nuts(fz, z, k, ncfg))(
+                # Host-chunked executions (see the hmc path below).
+                from base_tpu.inference.nuts import make_nuts_chunked_runner
+
+                zs, info = make_nuts_chunked_runner(fz, ncfg)(
                     init, jax.random.fold_in(key, 1)
                 )
                 lps = info["logposts"]

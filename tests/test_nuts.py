@@ -30,6 +30,40 @@ def test_nuts_gaussian_moments():
     assert float(info["mean_leapfrogs"]) > 3.0
 
 
+def test_nuts_dense_metric_whitens():
+    """With the dense metric the 0.9-correlated Gaussian is whitened:
+    correct moments at a near-unit step size and far fewer leapfrogs
+    per draw than the diagonal metric needs."""
+    cfg = nuts.NUTSConfig(n_warmup=300, n_samples=400, max_depth=6,
+                          n_windows=3, dense_mass=True)
+    init = jax.random.normal(jax.random.PRNGKey(5), (8, 2))
+    samples, info = jax.jit(
+        lambda z, k: nuts.run_nuts(gauss_lp, z, k, cfg)
+    )(init, jax.random.PRNGKey(6))
+    flat = np.asarray(samples).reshape(-1, 2)
+    np.testing.assert_allclose(flat.mean(0), MEAN, atol=0.15)
+    np.testing.assert_allclose(np.cov(flat.T), COV, atol=0.35)
+    assert float(info["step_size"]) > 0.4          # whitened scale
+    assert float(info["mean_leapfrogs"]) < 6.0     # short trees suffice
+    assert np.asarray(info["inv_mass"]).shape == (2, 2)
+
+
+def test_nuts_free_mask_pins_dims():
+    """Pinned dims never move and the live dim still samples correctly."""
+    cfg = nuts.NUTSConfig(n_warmup=100, n_samples=150, max_depth=5,
+                          n_windows=2, free_mask=(1.0, 0.0))
+    init = jnp.asarray([[0.3, 2.5]] * 4)
+
+    def lp(z):
+        return -0.5 * z[0] ** 2   # dim 1 flat (would random-walk unpinned)
+
+    samples, _ = jax.jit(lambda z, k: nuts.run_nuts(lp, z, k, cfg))(
+        init, jax.random.PRNGKey(8))
+    s = np.asarray(samples)
+    np.testing.assert_allclose(s[:, :, 1], 2.5, atol=1e-6)
+    assert 0.7 < s[:, :, 0].std() < 1.4
+
+
 def test_nuts_scales_trajectory_with_anisotropy():
     """A long narrow Gaussian needs longer trajectories than an
     isotropic one at the same (unadapted) step size: NUTS should take
