@@ -45,7 +45,15 @@ class HMCConfig:
     target_accept: float = 0.8
     init_step: float = 0.05
     n_windows: int = 4           # mass-matrix re-estimation points
-    jitter_traj: bool = True     # random trajectory lengths (0.5-1) * l_max
+    # Trajectory randomization (breaks periodic-orbit resonances):
+    #   "length": n_steps ~ U(0.5, 1) * l_max — but the scan always
+    #             computes l_max steps, so ~25% of leapfrog work is
+    #             discarded on average;
+    #   "step":   all l_max steps used, eps scaled by U(0.8, 1.2) per
+    #             trajectory — same de-resonance effect, no waste;
+    #   "none":   fixed length and step.
+    jitter_traj: bool = True     # legacy switch: False forces "none"
+    jitter_mode: str = "length"  # length | step | none
     dense_mass: bool = False     # full [P,P] mass matrix (pooled covariance)
     # Pinned parameters (reference: MH step scale 0 pins a dim, e.g. IFMR
     # coefficients in an MS-only run).  1.0 = sampled, 0.0 = frozen.
@@ -198,11 +206,15 @@ def hmc_transition(
     # momentum ~ N(0, M), M = Sigma^{-1} (diagonal or dense); pinned
     # dims carry zero momentum and never move.
     p0 = _sample_momentum(k_mom, chol, P) * mask
-    if cfg.jitter_traj:
+    mode = cfg.jitter_mode if cfg.jitter_traj else "none"
+    if mode == "length":
         u = jax.random.uniform(k_len, (), minval=0.5, maxval=1.0)
         n_steps = jnp.ceil(u * cfg.l_max).astype(jnp.int32)
     else:
         n_steps = jnp.asarray(cfg.l_max, jnp.int32)
+        if mode == "step":
+            eps = eps * jax.random.uniform(k_len, (), minval=0.8,
+                                           maxval=1.2)
 
     z1, p1, lp1, g1 = _leapfrog(
         logpost_and_grad, state.z, p0, state.grad, eps, inv_mass,

@@ -80,6 +80,11 @@ def main(smoke: bool = False):
         n_windows=2 if smoke else 4,
         dense_mass=True,
         free_mask=(1, 1, 1, 1, 1, 0, 0, 0, 0),
+        # Fixed-length trajectories + step-size jitter: every computed
+        # leapfrog is used (length jitter discards ~25% on average) and
+        # the full 48-step displacement makes draws near-IID — measured
+        # 2x ESS/s over length jitter (BASELINE.md sweep).
+        jitter_mode="step",
     )
 
     cat = simulate_cluster(grid, jnp.asarray(truth), n_stars,
@@ -145,7 +150,7 @@ def main(smoke: bool = False):
                 n_leapfrog_evals * flops_per_eval / dt / 1e12, 3),
             "chains": n_chains,
             "stars": n_stars,
-            "sampler": "hmc dense-metric l_max=48 (r3 sweep winner)",
+            "sampler": "hmc dense-metric l_max=48 step-jitter (r3 sweep winner)",
             "baseline": floor_label,
             "baseline_ess_per_sec": floor,
             "backend": jax.default_backend(),

@@ -66,6 +66,22 @@ def test_hmc_gaussian_moments():
     assert im[1] > im[0]
 
 
+def test_hmc_step_jitter_gaussian_moments():
+    """jitter_mode='step' (fixed length, eps ~ U(0.8, 1.2) x eps) is a
+    valid kernel: exact moments on the correlated Gaussian.  This is the
+    bench's throughput mode (every computed leapfrog used)."""
+    cfg = hmc.HMCConfig(n_warmup=400, n_samples=500, l_max=16,
+                        jitter_mode="step", dense_mass=True)
+    init = jax.random.normal(jax.random.PRNGKey(7), (8, 2))
+    samples, info = jax.jit(
+        lambda z, k: hmc.run_hmc(gauss_logpost, z, k, cfg)
+    )(init, jax.random.PRNGKey(8))
+    flat = np.asarray(samples).reshape(-1, 2)
+    assert float(info["accept_prob"]) > 0.6
+    np.testing.assert_allclose(flat.mean(0), MEAN, atol=0.15)
+    np.testing.assert_allclose(np.cov(flat.T), COV, atol=0.4)
+
+
 def test_hmc_dense_mass_correlated_gaussian():
     """Dense metric recovers a strongly correlated Gaussian's covariance."""
     rng = np.random.default_rng(0)
