@@ -620,7 +620,7 @@ def cmd_multi_pop(args) -> None:
 
     from base_tpu.grids.load import make_model
     from base_tpu.inference import diagnostics as diag
-    from base_tpu.inference.hmc import HMCConfig, run_hmc
+    from base_tpu.inference.hmc import HMCConfig
     from base_tpu.model import multipop as mp
     from base_tpu.model.stardata import make_ms_stars
 
@@ -639,7 +639,7 @@ def cmd_multi_pop(args) -> None:
                 wd_rows.mags, wd_rows.sigmas, cm_prior=wd_rows.cm_prior
             ),
             ifmr_kind=bundle.ifmr_kind,
-            p_db=s.whiteDwarfs.percentDB,
+            p_db=s.simCluster.percentDB,
         )
 
     start9 = s.cluster.start_vector()
@@ -697,9 +697,12 @@ def cmd_multi_pop(args) -> None:
             dense_mass=s.mcmc.denseMass,
             free_mask=mp.free_mask(model),
         )
-        zs, info = jax.jit(lambda z, k: run_hmc(fz, z, k, cfg))(
-            init, jax.random.fold_in(key, 1)
-        )
+        # Host-chunked executions (tunnel-safe for production runIter;
+        # bit-identical to run_hmc) — same driver as single-pop.
+        from base_tpu.inference.driver import run_hmc_chunked
+
+        zs, info = run_hmc_chunked(fz, init, jax.random.fold_in(key, 1),
+                                   cfg)
         xs = np.asarray(jax.vmap(jax.vmap(tr.forward))(zs))
         lps = np.asarray(info["logposts"])
         accept = float(info["accept_prob"])

@@ -109,6 +109,36 @@ def test_full_workflow(workdir):
     assert np.isfinite(vals).all()
 
 
+def test_multipop_cli_smoke(workdir):
+    """multi-pop end to end through the CLI (HMC ordered-transform path,
+    host-chunked runner): simulate -> scatter -> multi-pop, sane .mp.res."""
+    cfg = workdir / "mp.yaml"
+    cfg.write_text(
+        "cluster:\n"
+        "  starting_logAge: 9.4\n  starting_Fe_H: -0.2\n"
+        "  starting_distMod: 9.0\n  starting_Av: 0.1\n  starting_Y: 0.27\n"
+        "  prior_Fe_H: -0.2\n  prior_distMod: 9.0\n  prior_Av: 0.1\n"
+        "simCluster:\n  nStars: 48\n  percentBinary: 0.0\n"
+        "scatterCluster:\n  limitMag: 26.0\n"
+        "mcmc:\n  chains: 4\n  runIter: 256\n  warmup: 96\n  lMax: 8\n"
+        "  noBinaries: true\n  nMassRatio: 4\n"
+    )
+    base = ["--config", str(cfg)]
+    out = ["--outputFileBase", str(workdir / "mp"), "--seed", "11"]
+    main(["simulate"] + base + out)
+    main(["scatter"] + base + out
+         + ["--photFile", str(workdir / "mp.sim.phot")])
+    main(["multi-pop"] + base + out
+         + ["--photFile", str(workdir / "mp.phot")])
+    raw = np.loadtxt(str(workdir / "mp.mp.res"), skiprows=1)
+    assert raw.shape[1] == 14  # 12 params + logPost + chain
+    assert np.isfinite(raw).all()
+    ya, yb = raw[:, 9], raw[:, 10]
+    assert (yb > ya).all()          # ordered transform holds
+    lam = raw[:, 11]
+    assert ((lam > 0) & (lam < 1)).all()
+
+
 def test_phot_roundtrip(workdir, rng):
     t = photio.from_simulation(
         ids=None, bands=("U", "B", "V"),
