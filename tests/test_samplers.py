@@ -66,6 +66,29 @@ def test_hmc_gaussian_moments():
     assert im[1] > im[0]
 
 
+def test_hmc_chunked_runner_bit_identical():
+    """The host-chunked runner (per-window + per-chunk device
+    executions, the tunnel-safe production path) must be bit-identical
+    to the monolithic run_hmc — same RNG stream, same updates."""
+    from base_tpu.inference.driver import make_hmc_chunked_runner
+
+    cfg = hmc.HMCConfig(n_warmup=90, n_samples=60, l_max=6, n_windows=3,
+                        dense_mass=True)
+    init = 0.3 * jax.random.normal(jax.random.PRNGKey(3), (6, 2))
+    key = jax.random.PRNGKey(4)
+    zs_mono, info_mono = jax.jit(
+        lambda z, k: hmc.run_hmc(gauss_logpost, z, k, cfg)
+    )(init, key)
+    zs_chunk, info_chunk = make_hmc_chunked_runner(
+        gauss_logpost, cfg, chunk_draws=25  # uneven chunking on purpose
+    )(init, key)
+    np.testing.assert_array_equal(np.asarray(zs_mono),
+                                  np.asarray(zs_chunk))
+    np.testing.assert_array_equal(np.asarray(info_mono["inv_mass"]),
+                                  np.asarray(info_chunk["inv_mass"]))
+    assert float(info_mono["step_size"]) == float(info_chunk["step_size"])
+
+
 def test_hmc_step_jitter_gaussian_moments():
     """jitter_mode='step' (fixed length, eps ~ U(0.8, 1.2) x eps) is a
     valid kernel: exact moments on the correlated Gaussian.  This is the
