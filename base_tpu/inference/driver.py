@@ -55,7 +55,7 @@ def run_checkpointed(
     C, P = init_z.shape
     n_rec = cfg.n_samples // cfg.thin
     n_chunks = max((n_rec + dcfg.chunk_size - 1) // dcfg.chunk_size, 1)
-    chunk = min(dcfg.chunk_size, n_rec)
+    chunk = max(min(dcfg.chunk_size, n_rec), 1)
 
     def fresh_store():
         states, inv_mass, eps = warm(init_z, key)
@@ -135,21 +135,35 @@ def make_hmc_chunked_runner(
     so repeated `run` calls (e.g. a bench warm pass then a timed pass)
     hit the compile cache — constructing them per call would retrace
     and recompile everything each time.
+
+    When the chunk size does not divide the recorded-draw count, the
+    last chunk still runs a full `chunk` draws: the recorded samples,
+    logposts and accept_prob cover exactly the first n_rec draws, but
+    `final_states` sits past run_hmc's terminal RNG position by the
+    over-run (the bit-identity regression test pins the divisible case).
     """
     win = jax.jit(hmc_mod.make_warmup_window(logpost_fn, cfg))
     init_fn = jax.jit(
         lambda z, k: hmc_mod.init_chains(logpost_fn, z, k, cfg)
     )
-    chunk = min(chunk_draws, cfg.n_samples // cfg.thin)
+    chunk = max(min(chunk_draws, cfg.n_samples // cfg.thin), 1)
     step = jax.jit(
         lambda st, im, e: hmc_mod.sample_chunk(
             logpost_fn, st, im, e, chunk, cfg
         )
     )
 
-    def run(init_z: Array, key: Array, n_samples: int | None = None):
+    def run(init_z: Array, key: Array, n_samples: int | None = None,
+            inv_mass0: Array | None = None):
         P = init_z.shape[-1]
-        inv_mass = jnp.eye(P) if cfg.dense_mass else jnp.ones((P,))
+        if inv_mass0 is None:
+            inv_mass = jnp.eye(P) if cfg.dense_mass else jnp.ones((P,))
+        else:
+            # Warm-start metric (e.g. full-rank-VI covariance): window 0
+            # adapts eps under it instead of the identity — required at
+            # pod scale where the posterior is far tighter than the
+            # identity metric's random walk can discover.
+            inv_mass = jnp.asarray(inv_mass0)
         states = init_fn(init_z, key)
         for w in range(cfg.n_windows):
             states, inv_mass = win(states, inv_mass, jnp.asarray(w))
@@ -162,10 +176,12 @@ def make_hmc_chunked_runner(
             states, zs, lps, aps = step(states, inv_mass, eps)
             zs_all.append(jnp.swapaxes(zs, 0, 1))
             lps_all.append(jnp.swapaxes(lps, 0, 1))
-            aps_all.append(jnp.mean(aps))
+            aps_all.append(jnp.swapaxes(aps, 0, 1))   # [n, C]
         samples = jnp.concatenate(zs_all, axis=0)[:n_rec]
         info = dict(
-            accept_prob=jnp.mean(jnp.stack(aps_all)),
+            # Weighted by recorded draws: over-run draws of an uneven
+            # last chunk do not enter the acceptance statistic.
+            accept_prob=jnp.mean(jnp.concatenate(aps_all, axis=0)[:n_rec]),
             step_size=eps,
             inv_mass=inv_mass,
             logposts=jnp.concatenate(lps_all, axis=0)[:n_rec],
@@ -197,7 +213,7 @@ def run_hmc_checkpointed(
     """Single-device HMC with periodic checkpointing and automatic
     resume.  Returns (samples [n_rec, C, P], info) like run_hmc."""
     n_rec = cfg.n_samples // cfg.thin
-    chunk = min(dcfg.chunk_size, n_rec)
+    chunk = max(min(dcfg.chunk_size, n_rec), 1)
 
     def warm(z, k):
         # Per-window device executions (tunnel-safe; see run_hmc_chunked)

@@ -70,6 +70,15 @@ class HMCConfig:
     # collected [C, n, P] samples) is unchanged.
     chain_chunk: int | None = None
 
+    def __post_init__(self):
+        # An unrecognized mode would silently behave as "none" (no
+        # trajectory randomization) in hmc_transition — fail loudly.
+        if self.jitter_mode not in ("length", "step", "none"):
+            raise ValueError(
+                f"jitter_mode must be 'length', 'step' or 'none' "
+                f"(got {self.jitter_mode!r})"
+            )
+
     def mask_array(self, P: int) -> Array:
         if self.free_mask is None:
             return jnp.ones((P,), jnp.float32)
@@ -419,6 +428,7 @@ def warmup(
     states: HMCChainState,
     cfg: HMCConfig,
     axis_name: str | None = None,
+    inv_mass0: Array | None = None,
 ):
     """Windowed warmup: per-chain dual averaging + pooled cross-chain
     mass estimation between windows.  Returns (states, inv_mass, eps).
@@ -444,7 +454,12 @@ def warmup(
          DA average, adapted under exactly the sampling metric.
     """
     P = states.z.shape[-1]
-    inv_mass0 = jnp.eye(P) if cfg.dense_mass else jnp.ones((P,))
+    if inv_mass0 is None:
+        # Identity start; pass a posterior-covariance estimate (e.g.
+        # from full-rank VI) to warm-start the metric — at pod scale the
+        # posterior is too tight for early windows to estimate it from
+        # an identity-metric random walk (VERDICT r3 #1).
+        inv_mass0 = jnp.eye(P) if cfg.dense_mass else jnp.ones((P,))
     window_fn = make_warmup_window(logpost_fn, cfg, axis_name)
 
     def window(carry, w):

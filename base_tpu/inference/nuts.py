@@ -38,6 +38,7 @@ from base_tpu.inference.hmc import (
     _mass_matvec,
     _metric_chol,
     _sample_momentum,
+    _vmap_chains,
     _window_update,
 )
 from base_tpu.ops.special import NEG_INF
@@ -59,6 +60,10 @@ class NUTSConfig:
     # one), and pinned density-flat dims.
     dense_mass: bool = False
     free_mask: tuple | None = None
+    # Max chains evaluated concurrently inside one device's vmap (same
+    # memory-bounding semantics as HMCConfig.chain_chunk: chain blocks
+    # run sequentially under lax.map, peak memory is one block's).
+    chain_chunk: int | None = None
 
     def mask_array(self, P: int) -> Array:
         if self.free_mask is None:
@@ -367,7 +372,7 @@ def make_nuts_warmup_window(
 
             return jax.lax.scan(body, st, None, length=seg_len)
 
-        states, zs = jax.vmap(one_chain)(states)
+        states, zs = _vmap_chains(one_chain, states, cfg.chain_chunk)
         return _window_update(states, inv_mass, zs, w, cfg, mask,
                               axis_name)
 
@@ -400,7 +405,7 @@ def nuts_sample_chunk(
 
         return jax.lax.scan(body, st, None, length=n_record)
 
-    return jax.vmap(one_chain)(states)
+    return _vmap_chains(one_chain, states, cfg.chain_chunk)
 
 
 def run_nuts(
@@ -463,7 +468,7 @@ def make_nuts_chunked_runner(
     init_fn = jax.jit(
         lambda z, k: init_nuts_chains(logpost_fn, z, k, cfg)
     )
-    chunk = min(chunk_draws, cfg.n_samples // cfg.thin)
+    chunk = max(min(chunk_draws, cfg.n_samples // cfg.thin), 1)
     step = jax.jit(
         lambda st, im, e: nuts_sample_chunk(
             logpost_fn, st, im, e, chunk, cfg
@@ -486,15 +491,19 @@ def make_nuts_chunked_runner(
             states, (zs, lps, accs, nlfs) = step(states, inv_mass, eps)
             zs_all.append(jnp.swapaxes(zs, 0, 1))
             lps_all.append(jnp.swapaxes(lps, 0, 1))
-            acc_all.append(jnp.mean(accs))
-            nlf_all.append(jnp.mean(nlfs.astype(jnp.float32)))
+            acc_all.append(jnp.swapaxes(accs, 0, 1))   # [n, C]
+            nlf_all.append(jnp.swapaxes(nlfs, 0, 1).astype(jnp.float32))
         samples = jnp.concatenate(zs_all, axis=0)[:n_rec]
         info = dict(
-            accept_prob=jnp.mean(jnp.stack(acc_all)),
+            # Weighted by recorded draws (over-run draws of an uneven
+            # last chunk excluded) — same policy as the HMC runner.
+            accept_prob=jnp.mean(jnp.concatenate(acc_all, axis=0)[:n_rec]),
             step_size=eps,
             inv_mass=inv_mass,
             logposts=jnp.concatenate(lps_all, axis=0)[:n_rec],
-            mean_leapfrogs=jnp.mean(jnp.stack(nlf_all)),
+            mean_leapfrogs=jnp.mean(
+                jnp.concatenate(nlf_all, axis=0)[:n_rec]
+            ),
             final_states=states,
         )
         return samples, info

@@ -107,6 +107,75 @@ def run_vi(
     )
 
 
+def _init_params(init_mu: Array, cfg: VIConfig) -> dict:
+    P = init_mu.shape[0]
+    if cfg.full_rank:
+        return dict(
+            mu=init_mu, tril=jnp.diag(jnp.full((P,), cfg.init_log_sd))
+        )
+    return dict(mu=init_mu, log_sd=jnp.full((P,), cfg.init_log_sd))
+
+
+def run_vi_chunked(
+    logpost_z: Callable[[Array], Array],
+    init_mu: Array,
+    key: Array,
+    cfg: VIConfig = VIConfig(),
+    chunk_steps: int = 200,
+) -> VIResult:
+    """Host-chunked VI: the Adam loop runs as ceil(n_steps/chunk) jitted
+    scan executions carrying (params, opt_state) across the host
+    boundary — bit-identical to run_vi (same keys consumed in order) but
+    no single device execution exceeds one chunk, which the tunneled
+    TPU's ~60 s execution kill requires at pod-scale densities (the
+    same engineering as driver.make_hmc_chunked_runner)."""
+    opt = optax.adam(cfg.learning_rate)
+    params = _init_params(init_mu, cfg)
+    opt_state = opt.init(params)
+
+    def neg_elbo(params, k):
+        z, entropy = _sample_and_entropy(params, k, cfg.n_mc, cfg.full_rank)
+        lp = jax.vmap(logpost_z)(z)
+        return -(jnp.mean(lp) + entropy)
+
+    def step(carry, k):
+        params, opt_state = carry
+        loss, g = jax.value_and_grad(neg_elbo)(params, k)
+        updates, opt_state = opt.update(g, opt_state)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), -loss
+
+    chunk_fn = jax.jit(
+        lambda carry, ks: jax.lax.scan(step, carry, ks)
+    )
+    keys = jax.random.split(key, cfg.n_steps)
+    elbos = []
+    carry = (params, opt_state)
+    for lo in range(0, cfg.n_steps, chunk_steps):
+        carry, e = chunk_fn(carry, keys[lo : lo + chunk_steps])
+        elbos.append(e)
+    params, _ = carry
+    elbo_trace = jnp.concatenate(elbos)
+
+    if cfg.full_rank:
+        diag = jax.nn.softplus(jnp.diagonal(params["tril"])) + 1e-6
+        scale = jnp.tril(params["tril"], -1) + jnp.diag(diag)
+    else:
+        scale = jnp.exp(params["log_sd"])
+    return VIResult(
+        mu=params["mu"], scale=scale, elbo_trace=elbo_trace,
+        final_elbo=jnp.mean(elbo_trace[-50:]),
+    )
+
+
+def posterior_covariance(res: VIResult) -> Array:
+    """Sigma of the fitted family — a warm-start HMC metric (inv_mass =
+    posterior covariance; see hmc.warmup inv_mass0)."""
+    if res.scale.ndim == 2:
+        return res.scale @ res.scale.T
+    return jnp.diag(res.scale * res.scale)
+
+
 def sample_posterior(res: VIResult, key: Array, n: int) -> Array:
     """Draw n samples from the fitted family (unconstrained space)."""
     P = res.mu.shape[0]

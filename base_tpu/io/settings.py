@@ -26,6 +26,10 @@ class FilesSettings:
     photFile: str = ""
     outputFileBase: str = "base-tpu-run"
     modelDirectory: str = ""
+    # Chain-output backing store [upstream: base9/IO BackingStore —
+    # SURVEY.md C14]: "file" writes plain-text .res only; "sqlite" also
+    # writes <outputFileBase>.db via io.sqlite_store.
+    store: str = "file"
 
 
 @dataclasses.dataclass
@@ -121,7 +125,41 @@ class McmcSettings:
     # quadrature
     nMassRatio: int = 16
     noBinaries: bool = False
-    usePallas: bool = False   # fused marginal-likelihood kernel
+    # Fused marginal-likelihood kernel (ops.pallas_marglik).
+    # "auto" (default) = on when the active JAX backend is TPU — CLI
+    # users on the chip get the production kernel path without knowing
+    # the knob; "true"/"false" force it.
+    usePallas: str = "auto"
+    # Quadrature refinement: insert (upsample - 1) exact piecewise-linear
+    # nodes per EEP segment before marginalizing (posterior.SinglePopModel
+    # .upsample).  >1 shrinks the smoothstep secondary-lookup bias
+    # (~25 mmag on the synthetic grid at upsample=1) at linear cost in
+    # the segment count.
+    upsample: int = 1
+
+
+@dataclasses.dataclass
+class MultiPopSettings:
+    """multiPopMcmc section [upstream: Settings multiPop section — YA/YB/
+    lambda starts & steps, SURVEY.md C12/E2].
+
+    startY_A/startY_B default to NaN = derive from cluster.starting_Y
+    (Y -/+ 0.02); priors are Gaussian with sigma <= 0 meaning flat on
+    the grid hull (the ordered transform enforces Y_A < Y_B)."""
+
+    startY_A: float = float("nan")
+    startY_B: float = float("nan")
+    startLambda: float = 0.5
+    priorY_A: float = float("nan")
+    priorY_A_sigma: float = -1.0
+    priorY_B: float = float("nan")
+    priorY_B_sigma: float = -1.0
+    priorLambda: float = 0.5
+    priorLambda_sigma: float = -1.0
+    # MH mode per-parameter initial step sizes (stage-1 adaptive).
+    stepY_A: float = 0.005
+    stepY_B: float = 0.005
+    stepLambda: float = 0.05
 
 
 @dataclasses.dataclass
@@ -153,6 +191,9 @@ class Settings:
     )
     models: ModelSettings = dataclasses.field(default_factory=ModelSettings)
     mcmc: McmcSettings = dataclasses.field(default_factory=McmcSettings)
+    multiPop: MultiPopSettings = dataclasses.field(
+        default_factory=MultiPopSettings
+    )
     simCluster: SimClusterSettings = dataclasses.field(
         default_factory=SimClusterSettings
     )
@@ -213,3 +254,17 @@ def load_settings(
 
 def to_yaml(s: Settings) -> str:
     return yaml.safe_dump(dataclasses.asdict(s), sort_keys=False)
+
+
+def resolve_use_pallas(value) -> bool:
+    """Resolve mcmc.usePallas: "auto" -> True iff the active JAX backend
+    is TPU (the kernel's interpret-mode fallback is slower than the jnp
+    path on CPU); explicit booleans/strings pass through."""
+    if isinstance(value, bool):
+        return value
+    v = str(value).strip().lower()
+    if v == "auto":
+        import jax
+
+        return jax.default_backend() == "tpu"
+    return v in ("1", "true", "yes", "on")

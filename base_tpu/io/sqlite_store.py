@@ -32,10 +32,11 @@ CREATE TABLE IF NOT EXISTS meta (
 
 def write_res_sqlite(
     path: str,
-    samples: np.ndarray,          # [N, 9] or [N, C, 9]
+    samples: np.ndarray,          # [N, P] or [N, C, P]
     logpost: np.ndarray,          # [N] or [N, C]
     stage: int = 3,
     meta: dict | None = None,
+    columns: tuple | None = None,  # param names; default RES_COLUMNS[:P]
 ) -> None:
     samples = np.asarray(samples, np.float64)
     logpost = np.asarray(logpost, np.float64)
@@ -43,7 +44,10 @@ def write_res_sqlite(
         samples = samples[:, None, :]
         logpost = logpost[:, None]
     N, C, P = samples.shape
-    cols = ", ".join(f"{c} REAL NOT NULL" for c in RES_COLUMNS[:P])
+    names = tuple(columns) if columns is not None else RES_COLUMNS[:P]
+    if len(names) != P:
+        raise ValueError(f"{P} params but {len(names)} column names")
+    cols = ", ".join(f'"{c}" REAL NOT NULL' for c in names)
     con = sqlite3.connect(path)
     try:
         con.executescript(_SCHEMA.format(cols=cols))
@@ -76,7 +80,7 @@ def read_res_sqlite(path: str):
     finally:
         con.close()
     n_par = len(names) - 4  # iter, chain, ..., logPost, stage
-    params = np.zeros((data.shape[0], 9), np.float32)
+    params = np.zeros((data.shape[0], max(n_par, 9)), np.float32)
     params[:, :n_par] = data[:, 2 : 2 + n_par]
     return (
         params,

@@ -64,6 +64,22 @@ class SegmentTable(NamedTuple):
     mask: Array  # [T] bool
 
 
+def companion_lit_weight(m2: Array, min_mass: Array) -> Array:
+    """Dark-companion cutoff as a RAMP over a small mass width, not a
+    step: a hard (m2 >= min_mass) indicator makes the density
+    discontinuous in the cluster parameters (every (e, q) node crossing
+    min_mass as the isochrone shifts jumps the combined flux by the
+    faintest node's flux), and those jumps cap the HMC step size far
+    below the posterior scale.  The ramp is the same piecewise-linear
+    smoothness class as the interpolation model itself.
+
+    Shared by the likelihood table (combined_node_mags) and the
+    simulator (sim.simulate), so the generative model and the fitted
+    density agree on how companion flux switches on."""
+    w = 0.05 * min_mass + 1e-6
+    return jnp.clip((m2 - (min_mass - w)) / w, 0.0, 1.0)
+
+
 def combined_node_mags(
     iso: Isochrone,
     q_grid: Array,
@@ -86,16 +102,9 @@ def combined_node_mags(
     m2 = iso.mass[:, None] * q_grid[None, :]  # [E, Q]
     mags2 = iso.mags_at_mass(m2.reshape(-1))  # [E*Q, B]
     app2 = mags2.reshape(E, Q, -1) + dist
-    # Companions below the isochrone's lowest valid mass are dark.  The
-    # cutoff is a RAMP over a small mass width, not a step: a hard
-    # (m2 >= min_mass) indicator makes the density discontinuous in the
-    # cluster parameters (every (e, q) node crossing min_mass as the
-    # isochrone shifts jumps the combined flux by the faintest node's
-    # flux), and those jumps cap the HMC step size far below the
-    # posterior scale.  The ramp is the same piecewise-linear smoothness
-    # class as the interpolation model itself.
-    w = 0.05 * iso.min_mass + 1e-6
-    lit = jnp.clip((m2 - (iso.min_mass - w)) / w, 0.0, 1.0)  # [E, Q]
+    # Companions below the isochrone's lowest valid mass are dark (soft
+    # ramp — see companion_lit_weight).
+    lit = companion_lit_weight(m2, iso.min_mass)  # [E, Q]
     f2 = jnp.exp(-LN10_04 * app2) * lit[..., None]
     return -(1.0 / LN10_04) * jnp.log(f1[:, None, :] + f2)  # [E, Q, B]
 
@@ -316,23 +325,30 @@ def mass_prior_log_norm(table: SegmentTable) -> Array:
     return masked_logsumexp(table.logw, table.mask, axis=-1)
 
 
-def ms_total_loglik(
+def ms_log_marginals(
     stars: MSStars, table: SegmentTable, use_pallas: bool = False
 ) -> Array:
-    """Total MS-star log likelihood; `use_pallas` routes the marginal
+    """Per-star log marginal cluster likelihood [S]; `use_pallas` routes
     through the fused on-chip kernel (ops.pallas_marglik), parity-tested
-    against this jnp path."""
+    against the jnp path.  Shared by the single-pop and multiPop
+    densities so both get the kernel from one switch."""
     if use_pallas:
         from base_tpu.ops.pallas_marglik import fused_log_marginals
 
-        log_clust = fused_log_marginals(
+        return fused_log_marginals(
             stars.obs_mags, stars.inv_var, stars.log_norm,
             table.lo, table.hi, table.logw,
             table.mask.astype(jnp.float32),
             interpret=jax.default_backend() != "tpu",
         )
-    else:
-        log_clust = ms_star_log_marginals(stars, table)
+    return ms_star_log_marginals(stars, table)
+
+
+def ms_total_loglik(
+    stars: MSStars, table: SegmentTable, use_pallas: bool = False
+) -> Array:
+    """Total MS-star log likelihood (marginal + field mixture)."""
+    log_clust = ms_log_marginals(stars, table, use_pallas)
     log_clust = log_clust - mass_prior_log_norm(table)
     return field_mixture_total(stars, log_clust)
 

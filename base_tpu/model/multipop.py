@@ -67,6 +67,7 @@ class MultiPopModel:
     uniform_q: bool = dataclasses.field(metadata=dict(static=True), default=False)
     ifmr_kind: str = dataclasses.field(metadata=dict(static=True), default="linear")
     p_db: float = dataclasses.field(metadata=dict(static=True), default=0.1)
+    use_pallas: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
 
 def make_multipop_model(
@@ -83,6 +84,7 @@ def make_multipop_model(
     n_mz: int = 96,
     ifmr_kind: str = "linear",
     p_db: float = 0.1,
+    use_pallas: bool = False,
 ) -> MultiPopModel:
     mz_grid = None
     if wd_stars is not None:
@@ -108,6 +110,7 @@ def make_multipop_model(
         uniform_q=uniform_q,
         ifmr_kind=ifmr_kind,
         p_db=p_db,
+        use_pallas=use_pallas,
     )
 
 
@@ -128,8 +131,12 @@ def _field_mix_total(stars: MSStars, log_clust: Array) -> Array:
     return jnp.sum(per_star * stars.star_mask)
 
 
-def log_post(model: MultiPopModel, params: Array) -> Array:
-    """Un-normalized log posterior of the 12-vector."""
+def log_lik(model: MultiPopModel, params: Array) -> tuple[Array, Array]:
+    """Total per-star log likelihood and the bounds flag, separated from
+    the prior so sharded runners can psum the star-sum across a mesh
+    axis before adding the (replicated) prior — the same contract as
+    posterior.log_lik, which is what lets parallel.run drive either
+    model through one sharded machinery.  Returns (ll, in_bounds)."""
     age = params[C.Param.AGE]
     feh = params[C.Param.FEH]
     mod = params[C.Param.MOD]
@@ -146,7 +153,7 @@ def log_post(model: MultiPopModel, params: Array) -> Array:
         )
         # Normalized per population BEFORE the lambda mix — each
         # population's mass-prior normalizer Z differs (its own hull).
-        lm = (lk.ms_star_log_marginals(model.stars, table)
+        lm = (lk.ms_log_marginals(model.stars, table, model.use_pallas)
               - lk.mass_prior_log_norm(table))
         return lm, iso.in_bounds
 
@@ -176,8 +183,14 @@ def log_post(model: MultiPopModel, params: Array) -> Array:
         wd_mix = _lambda_mix(lam_c, wd_marginals(ya), wd_marginals(yb))
         ll = ll + _field_mix_total(model.wd_stars, wd_mix)
 
-    lp = model.priors.log_prior(params)
     ok = in_a & in_b & (lam > 0.0) & (lam < 1.0)
+    return ll, ok
+
+
+def log_post(model: MultiPopModel, params: Array) -> Array:
+    """Un-normalized log posterior of the 12-vector."""
+    ll, ok = log_lik(model, params)
+    lp = model.priors.log_prior(params)
     return jnp.where(ok, ll + lp, NEG_INF)
 
 
@@ -196,10 +209,12 @@ def free_mask(model: MultiPopModel) -> tuple:
     m = np.zeros(NPARAMS_MP, np.float32)
     m[[C.Param.AGE, C.Param.FEH, C.Param.MOD, C.Param.ABS]] = 1.0
     m[[MP_YYA, MP_YYB, MP_LAMBDA]] = 1.0
-    if model.wd_stars is not None and model.ifmr_kind in (
-        "linear", "quadratic"
-    ):
-        m[6:8] = 1.0
+    if model.wd_stars is not None:
+        m[C.Param.CARBONICITY] = 1.0
+        if model.ifmr_kind in ("linear", "quadratic"):
+            m[[C.Param.IFMR_INTERCEPT, C.Param.IFMR_SLOPE]] = 1.0
+        if model.ifmr_kind == "quadratic":
+            m[C.Param.IFMR_QUADCOEF] = 1.0
     return tuple(float(v) for v in m)
 
 

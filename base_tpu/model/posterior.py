@@ -156,6 +156,27 @@ def log_post(model: SinglePopModel, params: Array) -> Array:
     return jnp.where(in_bounds, ll + lp, NEG_INF)
 
 
+def free_mask(model: SinglePopModel) -> tuple:
+    """Sampled-parameter mask for HMCConfig/NUTSConfig.free_mask.
+
+    Density-flat dims are pinned (the reference's step-scale-0 pinning,
+    SURVEY.md §3.1): carbonicity and the IFMR coefficients only matter
+    with a WD branch, and the quadratic coefficient (slot 8) only under
+    ifmr_kind == 'quadratic'.  One helper so the HMC/NUTS/MH CLI paths
+    cannot drift apart."""
+    m = np.zeros(C.NPARAMS, np.float32)
+    m[[C.Param.AGE, C.Param.YYY, C.Param.FEH, C.Param.MOD,
+       C.Param.ABS]] = 1.0
+    if model.wd_stars is not None:
+        m[C.Param.CARBONICITY] = 1.0
+        if model.ifmr_kind in ("linear", "quadratic"):
+            m[C.Param.IFMR_INTERCEPT] = 1.0
+            m[C.Param.IFMR_SLOPE] = 1.0
+        if model.ifmr_kind == "quadratic":
+            m[C.Param.IFMR_QUADCOEF] = 1.0
+    return tuple(float(v) for v in m)
+
+
 def default_transform(model: SinglePopModel, margin: float = 1e-3) -> IntervalTransform:
     """Unconstrained-space bijection with bounds from the grid hull.
 

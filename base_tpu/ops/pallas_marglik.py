@@ -23,9 +23,20 @@ Mosaic lowers no erf/erfc primitive, so erf is the Abramowitz-Stegun
 
 The backward pass is a second kernel with the same tiling; softmax-style
 weights are recomputed from the saved forward output, and the
-d/d{alpha,beta,gamma} sensitivities come from forward-mode AD of the
-same tile formula, so gradients are exactly consistent with the kernel's
-own density.  Photometry inputs get zero cotangents (data).
+d/d{alpha,beta,gamma} sensitivities are ANALYTIC truncated-Gaussian
+moments: for the segment integral I = int_0^1 exp(-chi2(t)/2) dt with
+chi2 = alpha t^2 - 2 beta t + gamma,
+
+  d log I / d gamma = -1/2
+  d log I / d beta  = <t>        (mean of the [0,1]-truncated Gaussian)
+  d log I / d alpha = -<t^2>/2
+
+and <t>, <t^2> come from the same scaled phi/Phi pieces the forward
+already computes (phi_s = phi(u) e^{unear^2/2}, Z_s = width_s).  This
+replaces the r3 backward's three in-kernel jvp evaluations (~7 tile
+formula passes) with ~1.3 passes — the backward was the part of the
+kernel that LOST to XLA autodiff (benchmarks/pallas_parity_tpu.out r3:
+vjp 0.89-1.0x).  Photometry inputs get zero cotangents (data).
 
 Layout: the table is passed TRANSPOSED ([B, T]) so per-band rows are
 contiguous lanes; star tiles adapt to S (multiple of 8) so small-cluster
@@ -46,16 +57,16 @@ from base_tpu.ops.special import phi_interval_scaled
 NEG_BIG = -1e30
 SQRT_2PI = 2.5066282746310002
 INV_SQRT2 = 0.7071067811865476
+INV_SQRT_2PI = 0.3989422804014327
 _ALPHA_EPS = 1e-12
 _FLAT_EPS = 3e-7
 
 MAX_S_TILE = 256
 MAX_T_TILE = 512
-# The backward tile holds ~3x the live temporaries of the forward (three
-# jvp evaluations of the tile formula): a 512-wide T tile overflows the
-# 16 MB scoped-VMEM stack on v5e at S_TILE=104, so bwd tiles are capped
-# at 256.
-MAX_T_TILE_BWD = 256
+# The analytic backward (truncated-Gaussian moments) holds ~2x the
+# forward's live temporaries — far below the r3 three-jvp version that
+# overflowed scoped VMEM at 512 — so bwd tiles match the forward's.
+MAX_T_TILE_BWD = 512
 
 
 def _round_up(x: int, m: int) -> int:
@@ -67,7 +78,7 @@ def _tile_core_width(obs, iv, loT, hiT, logw, maskf, n_bands):
 
     Returns (core [S_t, T_t] = -chi2_min/2 + logw, masked to NEG_BIG;
     width [S_t, T_t] = sqrt(2pi/alpha) * Phi-difference, 1.0 for flat
-    segments; plus (alpha, beta, gamma) for the backward pass)."""
+    segments; (alpha, beta, gamma); aux pieces for the backward)."""
     St = obs.shape[0]
     Tt = loT.shape[1]
     alpha = jnp.zeros((St, Tt), jnp.float32)
@@ -82,13 +93,13 @@ def _tile_core_width(obs, iv, loT, hiT, logw, maskf, n_bands):
         alpha = alpha + iv_b * d_b * d_b
         beta = beta + iv_b * r_b * d_b
         gamma = gamma + iv_b * r_b * r_b
-    core, width = _core_width_of(alpha, beta, gamma, logw, maskf)
-    return core, width, alpha, beta, gamma
+    core, width, aux = _core_width_of(alpha, beta, gamma, logw, maskf)
+    return core, width, alpha, beta, gamma, aux
 
 
 def _core_width_of(alpha, beta, gamma, logw, maskf):
     """The (core, width) formula as a pure function of (alpha, beta,
-    gamma) — shared by the forward tile and the backward jvp."""
+    gamma) — shared by the forward tile and the analytic backward."""
     ac = jnp.maximum(alpha, _ALPHA_EPS)
     rsq = jax.lax.rsqrt(ac)
     mu = beta * rsq * rsq
@@ -104,7 +115,8 @@ def _core_width_of(alpha, beta, gamma, logw, maskf):
     core = jnp.where(live, -0.5 * (resid + unear_sq), -0.5 * mid) + logw
     core = jnp.where(maskf > 0.5, core, NEG_BIG)
     width = jnp.where(live, SQRT_2PI * rsq * width_s, 1.0)
-    return core, width
+    aux = (u0, u1, width_s, unear_sq, live, mu, rsq)
+    return core, width, aux
 
 
 def _fwd_kernel(
@@ -113,7 +125,7 @@ def _fwd_kernel(
 ):
     ti = pl.program_id(1)
     n_t = pl.num_programs(1)
-    core, width, *_ = _tile_core_width(
+    core, width, _, _, _, _ = _tile_core_width(
         obs_ref[:], iv_ref[:], loT_ref[:], hiT_ref[:],
         logw_ref[:], mask_ref[:], n_bands,
     )
@@ -147,36 +159,42 @@ def _bwd_kernel(
     dlo_ref, dhi_ref, dlogw_ref, *, n_bands: int,
 ):
     si = pl.program_id(1)
-    core, width, alpha, beta, gamma = _tile_core_width(
+    core, width, alpha, beta, gamma, aux = _tile_core_width(
         obs_ref[:], iv_ref[:], loT_ref[:], hiT_ref[:],
         logw_ref[:], mask_ref[:], n_bands,
     )
+    u0, u1, width_s, unear_sq, live, mu, rsq = aux
     # out_ref/g_ref are [St, 1]; out' = m + log(sum) so
     # exp(core - out') * width = term / sum  (the softmax weight).
     e = jnp.exp(core - out_ref[:])                        # [St, Tt]
-    gw_core = g_ref[:] * e * width    # cotangent of core per element
-    gw_width = g_ref[:] * e           # cotangent of width per element
+    gw = g_ref[:] * e * width   # = g * softmax weight = d out / d logw
 
-    logw_t = logw_ref[:]
-    maskf = mask_ref[:]
-
-    def cw(a, b, c):
-        return _core_width_of(a, b, c, logw_t, maskf)
-
-    ones = jnp.ones_like(alpha)
-    zeros = jnp.zeros_like(alpha)
-    (_, _), (dcore_da, dwidth_da) = jax.jvp(
-        cw, (alpha, beta, gamma), (ones, zeros, zeros)
+    # Analytic d log I / d {alpha, beta, gamma} via [0,1]-truncated
+    # Gaussian moments (module docstring).  phi_s = phi(u) e^{unear^2/2}
+    # shares the forward's scaling, so every ratio is O(1) even in far
+    # tails (where gw underflows to 0 and kills any residual error).
+    phi_s0 = INV_SQRT_2PI * jnp.exp(
+        0.5 * jnp.minimum(unear_sq - u0 * u0, 0.0)
     )
-    (_, _), (dcore_db, dwidth_db) = jax.jvp(
-        cw, (alpha, beta, gamma), (zeros, ones, zeros)
+    phi_s1 = INV_SQRT_2PI * jnp.exp(
+        0.5 * jnp.minimum(unear_sq - u1 * u1, 0.0)
     )
-    (_, _), (dcore_dc, dwidth_dc) = jax.jvp(
-        cw, (alpha, beta, gamma), (zeros, zeros, ones)
+    zs = jnp.maximum(width_s, 1e-12)
+    r1 = (phi_s0 - phi_s1) / zs
+    sigma = rsq
+    t1 = jnp.clip(mu + sigma * r1, 0.0, 1.0)              # <t>
+    t2 = (
+        sigma * sigma * (1.0 + (u0 * phi_s0 - u1 * phi_s1) / zs)
+        + mu * mu + 2.0 * mu * sigma * r1
     )
-    ga = gw_core * dcore_da + gw_width * dwidth_da
-    gb = gw_core * dcore_db + gw_width * dwidth_db
-    gc = gw_core * dcore_dc + gw_width * dwidth_dc
+    t2 = jnp.clip(t2, 0.0, 1.0)                           # <t^2>
+    # Flat branch: forward used the midpoint value exp(-chi2(1/2)/2),
+    # whose exact sensitivities are the t -> 1/2 point moments.
+    t1 = jnp.where(live, t1, 0.5)
+    t2 = jnp.where(live, t2, 0.25)
+    ga = gw * (-0.5) * t2
+    gb = gw * t1
+    gc = gw * (-0.5)
 
     first = si == 0
     for bnd in range(n_bands):
@@ -206,7 +224,7 @@ def _bwd_kernel(
             dlo_ref[bnd : bnd + 1, :] = dlo_ref[bnd : bnd + 1, :] + dlo_t
             dhi_ref[bnd : bnd + 1, :] = dhi_ref[bnd : bnd + 1, :] + dhi_t
 
-    dw_t = jnp.sum(gw_core, axis=0, keepdims=True)         # [1, Tt]
+    dw_t = jnp.sum(gw, axis=0, keepdims=True)              # [1, Tt]
 
     @pl.when(first)
     def _():

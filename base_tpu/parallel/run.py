@@ -44,10 +44,28 @@ from base_tpu.inference import hmc as hmc_mod
 from base_tpu.inference import mh as mh_mod
 
 
-def shard_stars(model: SinglePopModel, mesh: Mesh) -> SinglePopModel:
+def _model_log_lik(model, params):
+    """Dispatch to the model family's (ll, in_bounds) likelihood.
+
+    Both SinglePopModel and MultiPopModel expose the same contract —
+    per-LOCAL-star log-lik sum plus a replicated bounds flag — which is
+    what makes every sharded runner below model-agnostic (VERDICT r3
+    #3: multiPop is first-class in the scale-out layer)."""
+    if isinstance(model, SinglePopModel):
+        return post_mod.log_lik(model, params)
+    from base_tpu.model import multipop as mp
+
+    if isinstance(model, mp.MultiPopModel):
+        return mp.log_lik(model, params)
+    raise TypeError(f"no sharded log_lik for {type(model).__name__}")
+
+
+def shard_stars(model, mesh: Mesh):
     """Pad the star axes to the star-shard count and place each per-star
     array with a NamedSharding over the "stars" axis — MS stars AND WD
-    stars both shard; grids and other model leaves stay replicated."""
+    stars both shard; grids and other model leaves stay replicated.
+    Works for any model dataclass with `stars`/`wd_stars` fields
+    (single-pop and multiPop)."""
     n_star_shards = mesh.shape[STAR_AXIS]
 
     def place(x):
@@ -92,20 +110,21 @@ def _repad_stars(stars: MSStars, pad_to: int) -> MSStars:
 
 
 def local_logpost_fn(
-    model: SinglePopModel,
+    model,
     stars_local: MSStars,
     star_axis: str | None,
     wd_local: MSStars | None = None,
 ) -> Callable[[Array], Array]:
     """Per-device log posterior: local star partial (the FULL density —
     MS marginal incl. optional Pallas kernel, plus the WD precursor
-    branch when wd_local is present) + psum over the star axis +
-    (replicated) prior.  Identical on every device after the psum.
+    branch when wd_local is present; single-pop or multiPop via
+    _model_log_lik) + psum over the star axis + (replicated) prior.
+    Identical on every device after the psum.
     """
     local = dataclasses.replace(model, stars=stars_local, wd_stars=wd_local)
 
     def f(params: Array) -> Array:
-        ll, in_bounds = post_mod.log_lik(local, params)
+        ll, in_bounds = _model_log_lik(local, params)
         if star_axis is not None:
             ll = jax.lax.psum(ll, star_axis)
         lp = local.priors.log_prior(params)
@@ -138,7 +157,7 @@ def _pvary_tree(tree, axis: str = CHAIN_AXIS):
     return jax.tree_util.tree_map(lambda x: _pvary(x, axis), tree)
 
 
-def _split_frame(model: SinglePopModel, mesh: Mesh):
+def _split_frame(model, mesh: Mesh):
     """shard model -> (frame without stars, sharded MS stars, sharded WD
     stars or None).  The frame closes over the shard_map'd functions;
     the star pytrees pass through shard_map args with star-axis specs."""
@@ -148,15 +167,18 @@ def _split_frame(model: SinglePopModel, mesh: Mesh):
 
 
 def make_sharded_hmc_fns(
-    model: SinglePopModel,
+    model,  # SinglePopModel | MultiPopModel
     transform,
     cfg: hmc_mod.HMCConfig,
     mesh: Mesh,
     chunk: int,
+    inv_mass0=None,
 ):
     """(warm, step) pair with the driver contract, shard_map'd over the
     (chains x stars) mesh — the building blocks of both run_hmc_sharded
-    and the checkpointed sharded driver."""
+    and the checkpointed sharded driver.  `inv_mass0` warm-starts the
+    warmup metric (e.g. a full-rank-VI covariance — the pod-scale
+    initialization path)."""
     frame, stars, wds = _split_frame(model, mesh)
 
     def make_logpost_z(stars_local, wd_local):
@@ -177,7 +199,8 @@ def make_sharded_hmc_fns(
         fz = make_logpost_z(stars_local, wd_local)
         states = hmc_mod.init_chains(fz, init_z_local, dkey, cfg)
         states = _pvary_tree(states)
-        return hmc_mod.warmup(fz, states, cfg, axis_name=CHAIN_AXIS)
+        return hmc_mod.warmup(fz, states, cfg, axis_name=CHAIN_AXIS,
+                              inv_mass0=inv_mass0)
 
     def step_dev(stars_local, wd_local, states, inv_mass, eps):
         fz = make_logpost_z(stars_local, wd_local)
@@ -227,17 +250,19 @@ def _state_structure():
 
 
 def run_hmc_sharded(
-    model: SinglePopModel,
+    model,  # SinglePopModel | MultiPopModel
     transform,
     init_z: Array,   # [C_total, P] unconstrained initial positions
     key: Array,
     cfg: hmc_mod.HMCConfig,
     mesh: Mesh,
+    inv_mass0=None,
 ):
     """HMC over a (chains x stars) mesh.  Returns (z samples
     [n_rec, C_total, P], info) with device-invariant info scalars."""
     n_rec = cfg.n_samples // cfg.thin
-    warm, step = make_sharded_hmc_fns(model, transform, cfg, mesh, n_rec)
+    warm, step = make_sharded_hmc_fns(model, transform, cfg, mesh, n_rec,
+                                      inv_mass0=inv_mass0)
     states, inv_mass, eps = warm(init_z, key)
     states, zs, lps, aps = step(states, inv_mass, eps)
     samples = jnp.swapaxes(zs, 0, 1)   # [n_rec, C_total, P]
@@ -248,7 +273,7 @@ def run_hmc_sharded(
 
 
 def run_hmc_sharded_checkpointed(
-    model: SinglePopModel,
+    model,  # SinglePopModel | MultiPopModel
     transform,
     init_z: Array,   # [C_total, P]
     key: Array,
@@ -260,13 +285,13 @@ def run_hmc_sharded_checkpointed(
     (warm, step) pair drives the same resume loop as the single-device
     path, so a killed pod run resumes bit-identically (SURVEY.md §5)."""
     n_rec = cfg.n_samples // cfg.thin
-    chunk = min(dcfg.chunk_size, n_rec)
+    chunk = max(min(dcfg.chunk_size, n_rec), 1)
     warm, step = make_sharded_hmc_fns(model, transform, cfg, mesh, chunk)
     return driver_mod.run_checkpointed(warm, step, init_z, key, cfg, dcfg)
 
 
 def run_nuts_sharded(
-    model: SinglePopModel,
+    model,  # SinglePopModel | MultiPopModel
     transform,
     init_z: Array,   # [C_total, P]
     key: Array,
@@ -314,7 +339,7 @@ def run_nuts_sharded(
 
 
 def run_smc_sharded(
-    model: SinglePopModel,
+    model,  # SinglePopModel | MultiPopModel
     transform,
     center_z: Array,        # [P] q0 center in unconstrained space
     key: Array,
@@ -366,7 +391,7 @@ def run_smc_sharded(
         out_specs=(
             P(CHAIN_AXIS, None),
             dict(log_evidence=P(), beta=P(), n_stages=P(), accept=P(),
-                 betas=P()),
+                 betas=P(), move_scale=P()),
         ),
         check_vma=True,
     )
@@ -375,7 +400,7 @@ def run_smc_sharded(
 
 
 def run_mh_sharded(
-    model: SinglePopModel,
+    model,  # SinglePopModel | MultiPopModel
     init_position: Array,   # [C_total, P]
     key: Array,
     step_init: Array,       # [P]

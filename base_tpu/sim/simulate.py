@@ -97,16 +97,22 @@ def simulate_cluster(
     q = jnp.where(is_binary, jax.random.uniform(k3, (n_stars,)), 0.0)
 
     dist = mod + av * jnp.asarray(filt.absorption_coefs(grid.bands))
-    # smooth=False: draw from the piecewise-LINEAR curve the sampler's
-    # segment-exact marginal integrates over (SBC self-consistency; see
-    # Isochrone.mags_at_mass).
+    # PRIMARY: smooth=False — draw from the piecewise-LINEAR curve the
+    # sampler's segment-exact marginal integrates over (SBC
+    # self-consistency; see Isochrone.mags_at_mass).
     app1 = iso.mags_at_mass(m1, smooth=False) + dist  # [S, B]
     m2 = q * m1
-    app2 = iso.mags_at_mass(m2, smooth=False) + dist
-    lit = (m2 >= iso.min_mass)[:, None]
-    f = jnp.exp(-LN10_04 * app1) + jnp.where(
-        lit, jnp.exp(-LN10_04 * app2), 0.0
-    )
+    # SECONDARY: match the fitted density's companion model exactly —
+    # the likelihood table looks secondaries up with SMOOTHSTEP weights
+    # and switches their flux on over the soft min-mass RAMP
+    # (likelihood.combined_node_mags); drawing companions from the hard
+    # linear+step model would make the generative model and the fitted
+    # density disagree for binaries (r3 advisor finding).
+    from base_tpu.model.likelihood import companion_lit_weight
+
+    app2 = iso.mags_at_mass(m2, smooth=True) + dist
+    lit = companion_lit_weight(m2, iso.min_mass)[:, None]
+    f = jnp.exp(-LN10_04 * app1) + lit * jnp.exp(-LN10_04 * app2)
     ms_mags = -(1.0 / LN10_04) * jnp.log(f)
 
     is_wd = m1 > iso.agb_tip

@@ -25,7 +25,7 @@ import numpy as np
 from base_tpu import constants as C
 from base_tpu.io import phot as photio
 from base_tpu.io import res as resio
-from base_tpu.io.settings import Settings, load_settings
+from base_tpu.io.settings import Settings, load_settings, resolve_use_pallas
 
 
 def _common(parser: argparse.ArgumentParser) -> None:
@@ -55,6 +55,11 @@ def _common(parser: argparse.ArgumentParser) -> None:
         help="checkpoint to <outputFileBase>.ckpt and resume if present "
              "(hmc sampler)",
     )
+    parser.add_argument(
+        "--store", default=None, choices=("file", "sqlite"),
+        help="chain-output backing store (files.store): 'sqlite' also "
+             "writes <outputFileBase>.db",
+    )
 
 
 def _settings(args) -> Settings:
@@ -67,6 +72,8 @@ def _settings(args) -> Settings:
         s.files.modelDirectory = args.modelDirectory
     if args.seed is not None:
         s.mcmc.seed = args.seed
+    if getattr(args, "store", None) is not None:
+        s.files.store = args.store
     return s
 
 
@@ -223,7 +230,8 @@ def _build_model_from_phot(s: Settings, table: photio.PhotTable):
         wd_stars=wds,
         ifmr_kind=bundle.ifmr_kind,
         p_db=s.simCluster.percentDB,
-        use_pallas=s.mcmc.usePallas,
+        use_pallas=resolve_use_pallas(s.mcmc.usePallas),
+        upsample=s.mcmc.upsample,
     )
     return model
 
@@ -241,6 +249,19 @@ def _parse_mesh(spec: str | None):
     if len(parts) != 2:
         raise SystemExit(f"--mesh wants C,S (got {spec!r})")
     return make_mesh(n_chain_shards=parts[0], n_star_shards=parts[1])
+
+
+def _announce_draws(s: Settings, n_chains: int) -> None:
+    """Loud per-chain draw count: mcmc.runIter is TOTAL recorded draws
+    across chains here (the reference's runIter is per its single chain
+    — docs/MIGRATION.md), so a ported config would otherwise silently
+    run n_chains x fewer draws per chain than its author expects."""
+    per = s.mcmc.runIter // max(n_chains, 1)
+    print(
+        f"mcmc.runIter = {s.mcmc.runIter} TOTAL recorded draws across "
+        f"{n_chains} chains -> {per} draws/chain (thin={s.mcmc.thin}; "
+        f"reference runIter is per-chain — see docs/MIGRATION.md)"
+    )
 
 
 def _window_logger(mlog, names):
@@ -285,6 +306,7 @@ def cmd_single_pop(args) -> None:
     key = jax.random.PRNGKey(s.mcmc.seed)
     start = s.cluster.start_vector()
     n_chains = s.mcmc.chains
+    _announce_draws(s, n_chains)
     mesh = _parse_mesh(getattr(args, "mesh", None))
     resume = bool(getattr(args, "resume", False))
     ckpt_path = s.files.outputFileBase + ".ckpt" if resume else None
@@ -310,18 +332,12 @@ def cmd_single_pop(args) -> None:
         if s.mcmc.sampler == "nuts":
             from base_tpu.inference.nuts import NUTSConfig, run_nuts
 
-            live = np.ones(C.NPARAMS, np.float32)
-            live[C.Param.CARBONICITY :] = 0.0
-            if model.wd_stars is not None:
-                live[C.Param.CARBONICITY] = 1.0
-                if model.ifmr_kind in ("linear", "quadratic"):
-                    live[6:8] = 1.0
             ncfg = NUTSConfig(
                 n_warmup=s.mcmc.warmup,
                 n_samples=s.mcmc.runIter // n_chains,
                 thin=s.mcmc.thin, target_accept=s.mcmc.targetAccept,
                 dense_mass=s.mcmc.denseMass,
-                free_mask=tuple(float(v) for v in live),
+                free_mask=post.free_mask(model),
             )
             if mesh is not None:
                 from base_tpu.parallel.run import run_nuts_sharded
@@ -368,16 +384,29 @@ def cmd_single_pop(args) -> None:
                     q0_sd=sd0,
                 )
             else:
-                scfg = SMCConfig(n_particles=n_part)
+                # 4 independent replicates (one compile, vmapped): the
+                # evidence estimate carries a repeat-run standard error.
+                from base_tpu.inference.smc import run_smc_replicated
+
+                n_rep = 4
+                scfg = SMCConfig(n_particles=max(n_part // n_rep, 64))
                 z_part, info = jax.jit(
-                    lambda k: run_smc(fz, sample_q0, log_q0, k, scfg)
+                    lambda k: run_smc_replicated(
+                        fz, sample_q0, log_q0, k, scfg, n_rep=n_rep
+                    )
                 )(jax.random.fold_in(key, 2))
             zs = z_part[:, None, :]      # [N, 1, P]
             lps = jax.vmap(fz)(z_part)[:, None]
             accept = float(info["accept"])
+            se = (
+                f" +- {float(info['log_evidence_se']):.2f}"
+                if "log_evidence_se" in info else ""
+            )
             print(
-                f"  smc: log_evidence={float(info['log_evidence']):.2f} "
-                f"stages={int(info['n_stages'])}"
+                f"  smc: log_evidence={float(info['log_evidence']):.2f}"
+                f"{se} stages={int(info['n_stages'])} "
+                f"move_accept={accept:.2f} "
+                f"move_scale={float(info['move_scale']):.3f}"
             )
         elif s.mcmc.sampler == "vi":
             from base_tpu.inference.vi import (
@@ -401,19 +430,13 @@ def cmd_single_pop(args) -> None:
             # Pin density-flat dims (carbonicity / IFMR coefficients
             # without a WD branch) — mirrors the MH path's step-scale-0
             # pinning and keeps the warmup metric well-conditioned.
-            live = np.ones(C.NPARAMS, np.float32)
-            live[C.Param.CARBONICITY :] = 0.0
-            if model.wd_stars is not None:
-                live[C.Param.CARBONICITY] = 1.0
-                if model.ifmr_kind in ("linear", "quadratic"):
-                    live[6:8] = 1.0
             cfg = HMCConfig(
                 n_warmup=s.mcmc.warmup,
                 n_samples=s.mcmc.runIter // n_chains,
                 thin=s.mcmc.thin, l_max=s.mcmc.lMax,
                 target_accept=s.mcmc.targetAccept,
                 dense_mass=s.mcmc.denseMass,
-                free_mask=tuple(float(v) for v in live),
+                free_mask=post.free_mask(model),
             )
             hkey = jax.random.fold_in(key, 1)
             chunked = resume or mlog is not None
@@ -464,11 +487,13 @@ def cmd_single_pop(args) -> None:
         xs = jax.vmap(jax.vmap(tr.forward))(zs)          # [N, C, 9]
     else:
         f = post.make_logpost_fn(model)
+        # Reference-style per-param step scales, masked by the shared
+        # sampled-parameter helper so MH frees exactly what HMC/NUTS do
+        # (incl. the quadratic IFMR coefficient under ifmr=quadratic).
         step0 = np.array(
-            [0.05, 0.02, 0.05, 0.05, 0.03, 0.0, 0.0, 0.0, 0.0], np.float32
-        )
-        if model.ifmr_kind in ("linear", "quadratic") and model.wd_stars is not None:
-            step0[6:8] = 0.02
+            [0.05, 0.02, 0.05, 0.05, 0.03, 0.02, 0.02, 0.02, 0.005],
+            np.float32,
+        ) * np.asarray(post.free_mask(model), np.float32)
         cfg = MHConfig(
             n_stage1=s.mcmc.stage1Iter, n_stage2=s.mcmc.stage2IterMax,
             n_main=s.mcmc.runIter // n_chains, thin=s.mcmc.thin,
@@ -511,6 +536,16 @@ def cmd_single_pop(args) -> None:
     wall = time.perf_counter() - t_sample0
     out = s.files.outputFileBase + ".res"
     resio.write_res(out, np.asarray(xs), np.asarray(lps).reshape(xs.shape[0], -1))
+    if s.files.store == "sqlite":
+        from base_tpu.io.sqlite_store import write_res_sqlite
+
+        db = s.files.outputFileBase + ".db"
+        write_res_sqlite(
+            db, np.asarray(xs), np.asarray(lps).reshape(xs.shape[0], -1),
+            meta={"sampler": s.mcmc.sampler, "seed": s.mcmc.seed,
+                  "chains": s.mcmc.chains, "tool": "single-pop"},
+        )
+        print(f"  sqlite store -> {db}")
     summ = diag.summarize(jnp.asarray(xs), C.PARAM_NAMES)
     if mlog is not None:
         n_evals = xs.shape[0] * xs.shape[1] * (
@@ -644,24 +679,44 @@ def cmd_multi_pop(args) -> None:
 
     start9 = s.cluster.start_vector()
     y0 = float(start9[C.Param.YYY])
+    # multiPop section [upstream: Settings multiPop YA/YB/lambda starts &
+    # steps — SURVEY.md C12]: NaN starts/priors derive from cluster Y.
+    mpset = s.multiPop
+    ya0 = mpset.startY_A if np.isfinite(mpset.startY_A) else y0 - 0.02
+    yb0 = mpset.startY_B if np.isfinite(mpset.startY_B) else y0 + 0.02
+    lam0 = float(np.clip(mpset.startLambda, 1e-3, 1.0 - 1e-3))
+    pm_ya = mpset.priorY_A if np.isfinite(mpset.priorY_A) else ya0
+    pm_yb = mpset.priorY_B if np.isfinite(mpset.priorY_B) else yb0
     prior_mean = np.concatenate(
         [s.cluster.prior_mean_vector(),
-         np.asarray([y0 - 0.02, y0 + 0.02, 0.5], np.float32)]
+         np.asarray([pm_ya, pm_yb, mpset.priorLambda], np.float32)]
     )
     prior_sigma = np.concatenate(
         [s.cluster.prior_sigma_vector(),
-         np.asarray([-1.0, -1.0, -1.0], np.float32)]
+         np.asarray([mpset.priorY_A_sigma, mpset.priorY_B_sigma,
+                     mpset.priorLambda_sigma], np.float32)]
     )
     model = mp.make_multipop_model(
         bundle.ms, stars, prior_mean, prior_sigma,
         n_q=s.mcmc.nMassRatio, binaries=not s.mcmc.noBinaries,
+        use_pallas=resolve_use_pallas(s.mcmc.usePallas),
         **wd_kwargs,
     )
     start = np.concatenate(
-        [start9, np.asarray([y0 - 0.02, y0 + 0.02, 0.5], np.float32)]
+        [start9, np.asarray([ya0, yb0, lam0], np.float32)]
     )
     key = jax.random.PRNGKey(s.mcmc.seed)
     n_chains = s.mcmc.chains
+    _announce_draws(s, n_chains)
+    mesh = _parse_mesh(getattr(args, "mesh", None))
+    resume = bool(getattr(args, "resume", False))
+    ckpt_path = s.files.outputFileBase + ".mp.ckpt" if resume else None
+    if resume and s.mcmc.sampler != "hmc":
+        print(
+            f"multi-pop: --resume is checkpointed-HMC only; "
+            f"sampler={s.mcmc.sampler} runs without checkpoints",
+            file=sys.stderr,
+        )
 
     if s.mcmc.sampler == "mh":
         from base_tpu.inference.mh import MHConfig, run_adaptive_mh
@@ -669,21 +724,33 @@ def cmd_multi_pop(args) -> None:
         f = mp.make_logpost_fn(model)
         step0 = np.zeros(mp.NPARAMS_MP, np.float32)
         step0[[0, 2, 3, 4]] = [0.05, 0.05, 0.05, 0.03]
-        step0[mp.MP_YYA] = 0.005
-        step0[mp.MP_YYB] = 0.005
-        step0[mp.MP_LAMBDA] = 0.05
+        step0[mp.MP_YYA] = mpset.stepY_A
+        step0[mp.MP_YYB] = mpset.stepY_B
+        step0[mp.MP_LAMBDA] = mpset.stepLambda
         cfg = MHConfig(
             n_stage1=s.mcmc.stage1Iter, n_stage2=s.mcmc.stage2IterMax,
             n_main=s.mcmc.runIter // n_chains, thin=s.mcmc.thin,
         )
-        keys = jax.random.split(key, n_chains)
         init = jnp.tile(jnp.asarray(start)[None, :], (n_chains, 1))
-        samples, info = jax.jit(jax.vmap(
-            lambda p, k: run_adaptive_mh(f, p, k, jnp.asarray(step0), cfg)
-        ))(init, keys)
-        xs = np.asarray(jnp.swapaxes(samples, 0, 1))
-        lps = np.asarray(jnp.swapaxes(info["logposts"], 0, 1))
-        accept = float(np.mean(np.asarray(info["accept_rate"])))
+        if mesh is not None:
+            from base_tpu.parallel.run import run_mh_sharded
+
+            samples_nc, info = run_mh_sharded(
+                model, init, key, jnp.asarray(step0), cfg, mesh
+            )
+            xs = np.asarray(samples_nc)
+            lps = np.asarray(jnp.swapaxes(info["logposts"], 0, 1))
+            accept = float(np.asarray(info["accept_rate"]))
+        else:
+            keys = jax.random.split(key, n_chains)
+            samples, info = jax.jit(jax.vmap(
+                lambda p, k: run_adaptive_mh(
+                    f, p, k, jnp.asarray(step0), cfg
+                )
+            ))(init, keys)
+            xs = np.asarray(jnp.swapaxes(samples, 0, 1))
+            lps = np.asarray(jnp.swapaxes(info["logposts"], 0, 1))
+            accept = float(np.mean(np.asarray(info["accept_rate"])))
     else:
         tr = mp.ordered_transform(model)
         fz = mp.make_logpost_z_fn(model, tr)
@@ -697,12 +764,38 @@ def cmd_multi_pop(args) -> None:
             dense_mass=s.mcmc.denseMass,
             free_mask=mp.free_mask(model),
         )
-        # Host-chunked executions (tunnel-safe for production runIter;
-        # bit-identical to run_hmc) — same driver as single-pop.
-        from base_tpu.inference.driver import run_hmc_chunked
+        hkey = jax.random.fold_in(key, 1)
+        if mesh is not None or resume:
+            # Sharded and/or checkpointed: the generic driver loop over
+            # the model-agnostic shard_map'd (warm, step) pair — the
+            # exact machinery single-pop production runs use.
+            from base_tpu.inference.driver import DriverConfig
 
-        zs, info = run_hmc_chunked(fz, init, jax.random.fold_in(key, 1),
-                                   cfg)
+            dcfg = DriverConfig(
+                checkpoint_path=ckpt_path,
+                chunk_size=max(
+                    min(100, (s.mcmc.runIter // n_chains) // 4), 1
+                ),
+            )
+            if mesh is not None:
+                from base_tpu.parallel.run import (
+                    run_hmc_sharded_checkpointed,
+                )
+
+                zs, info = run_hmc_sharded_checkpointed(
+                    model, tr, init, hkey, cfg, mesh, dcfg
+                )
+            else:
+                from base_tpu.inference.driver import run_hmc_checkpointed
+
+                zs, info = run_hmc_checkpointed(fz, init, hkey, cfg, dcfg)
+        else:
+            # Host-chunked executions (tunnel-safe for production
+            # runIter; bit-identical to run_hmc) — same driver as
+            # single-pop.
+            from base_tpu.inference.driver import run_hmc_chunked
+
+            zs, info = run_hmc_chunked(fz, init, hkey, cfg)
         xs = np.asarray(jax.vmap(jax.vmap(tr.forward))(zs))
         lps = np.asarray(info["logposts"])
         accept = float(info["accept_prob"])
@@ -716,6 +809,16 @@ def cmd_multi_pop(args) -> None:
                 row = [f"{v:.6f}" for v in xs[n, c]]
                 row += [f"{lps[n, c]:.4f}", str(c)]
                 f.write(" ".join(row) + "\n")
+    if s.files.store == "sqlite":
+        from base_tpu.io.sqlite_store import write_res_sqlite
+
+        db = s.files.outputFileBase + ".db"
+        write_res_sqlite(
+            db, xs, lps, columns=tuple(mp.MP_PARAM_NAMES),
+            meta={"sampler": s.mcmc.sampler, "seed": s.mcmc.seed,
+                  "chains": s.mcmc.chains, "tool": "multi-pop"},
+        )
+        print(f"  sqlite store -> {db}")
     summ = diag.summarize(jnp.asarray(xs), mp.MP_PARAM_NAMES)
     print(
         f"multi-pop ({s.mcmc.sampler}): {xs.shape[0]}x{xs.shape[1]} "

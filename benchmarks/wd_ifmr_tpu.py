@@ -1,0 +1,144 @@
+"""BASELINE acceptance config 3 on the chip: WD-bearing cluster with a
+TUNABLE linear IFMR — the sampleWDMass science case (VERDICT r3 #4:
+configs 2-4 had no on-chip perf/correctness artifacts).
+
+Workflow: simulate a cluster whose high-mass stars evolved to WDs
+(IFMR -> cooling -> atmosphere chain), fit the FULL 9-param posterior
+(age, Y, FeH, mod, Av, carbonicity + IFMR intercept/slope all free) with
+host-chunked HMC, then draw per-WD (ZAMS mass, WD mass, cooling age)
+conditionals — the sampleWDMass equivalent — from the posterior.
+
+Run from /root/repo: python -u benchmarks/wd_ifmr_tpu.py
+Captured output: benchmarks/wd_ifmr_tpu.out
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import json
+import time
+
+import numpy as np
+
+TRUTH = np.array([9.3, 0.27, -0.5, 10.0, 0.3, 0.5, 0.7, 0.08, 0.0],
+                 np.float32)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from base_tpu.inference import diagnostics as diag
+    from base_tpu.inference.driver import make_hmc_chunked_runner
+    from base_tpu.inference.hmc import HMCConfig
+    from base_tpu.grids import synthetic
+    from base_tpu.grids.wd_atmosphere import synthetic_bergeron
+    from base_tpu.grids.wd_cooling import synthetic_wd_cooling
+    from base_tpu.model import posterior as post
+    from base_tpu.model.stardata import make_ms_stars
+    from base_tpu.sim.scatter import scatter_cluster
+    from base_tpu.sim.simulate import simulate_cluster
+
+    grid = synthetic.make_grid(n_eep=64)
+    wd_cooling = synthetic_wd_cooling()
+    wd_atm = synthetic_bergeron()
+    S = 512
+    cat = simulate_cluster(
+        grid, jnp.asarray(TRUTH), S, jax.random.PRNGKey(0),
+        percent_binary=0.3, wd_cooling=wd_cooling, wd_atm=wd_atm,
+        ifmr_kind="linear", percent_db=0.1,
+    )
+    sc = scatter_cluster(cat.mags, jax.random.PRNGKey(1), limit_mag=24.0)
+    stage = np.asarray(cat.stage)
+    is_wd = stage == 3
+    mags = np.asarray(sc.mags)
+    sigs = np.asarray(sc.sigmas)
+    ms = make_ms_stars(mags[~is_wd], sigs[~is_wd], cm_prior=0.99)
+    wds = make_ms_stars(mags[is_wd], sigs[is_wd], cm_prior=0.99)
+    use_pallas = jax.default_backend() == "tpu"
+    # Priors: loose Gaussians on the IFMR coefficients (the reference's
+    # tunable-IFMR runs do the same [SURVEY.md C8]); carbonicity flat.
+    model = post.make_single_pop_model(
+        grid, ms,
+        prior_mean=TRUTH,
+        prior_sigma=np.array(
+            [-1, -1, 0.3, 0.2, 0.1, -1, 0.3, 0.15, -1], np.float32),
+        n_q=8, wd_cooling=wd_cooling, wd_atm=wd_atm, wd_stars=wds,
+        ifmr_kind="linear", p_db=0.1, use_pallas=use_pallas,
+    )
+    tr = post.default_transform(model)
+    fz = post.make_logpost_z_fn(model, tr)
+    z0 = tr.inverse(jnp.asarray(TRUTH))
+    free = post.free_mask(model)
+    print(json.dumps({
+        "backend": jax.default_backend(), "n_ms": int((~is_wd).sum()),
+        "n_wd": int(is_wd.sum()), "use_pallas": use_pallas,
+        "free_mask": list(free),
+    }), flush=True)
+
+    C = 32
+    init = jnp.tile(z0[None, :], (C, 1)) + 0.01 * jax.random.normal(
+        jax.random.PRNGKey(2), (C, 9))
+    cfg = HMCConfig(n_warmup=256, n_samples=1024, l_max=32, n_windows=4,
+                    dense_mass=True, free_mask=free, jitter_mode="step")
+    runner = make_hmc_chunked_runner(fz, cfg, chunk_draws=128)
+    zs, info = runner(init, jax.random.PRNGKey(3), 64)   # warm compile
+    jax.block_until_ready(zs)
+    t0 = time.perf_counter()
+    zs, info = runner(init, jax.random.PRNGKey(4))
+    jax.block_until_ready(zs)
+    dt = time.perf_counter() - t0
+    xs = jax.vmap(jax.vmap(tr.forward))(zs)
+    names = ["logAge", "Y", "FeH", "mod", "Av", "carb", "ifmrI", "ifmrS"]
+    idx = [0, 1, 2, 3, 4, 5, 6, 7]
+    rhat = np.asarray(diag.split_rhat(xs))
+    essv = np.asarray(diag.ess(xs))
+    xnp = np.asarray(xs)
+    post_stats = {}
+    for n, i in zip(names, idx):
+        post_stats[n] = dict(
+            mean=round(float(xnp[..., i].mean()), 4),
+            sd=round(float(xnp[..., i].std()), 4),
+            truth=round(float(TRUTH[i]), 4),
+            z=round(float((xnp[..., i].mean() - TRUTH[i])
+                          / max(xnp[..., i].std(), 1e-9)), 2),
+            rhat=round(float(rhat[i]), 4),
+        )
+    evals = (cfg.n_warmup + cfg.n_samples) * cfg.l_max * C
+    print(json.dumps({
+        "wall_s": round(dt, 2),
+        "accept": round(float(info["accept_prob"]), 3),
+        "ess_age": round(float(essv[0]), 1),
+        "ess_age_per_sec": round(float(essv[0]) / dt, 1),
+        "ess_ifmr_slope_per_sec": round(float(essv[7]) / dt, 1),
+        "rhat_max_free": round(float(rhat[np.asarray(free) > 0].max()), 4),
+        "grad_evals_per_sec": round(evals / dt, 0),
+    }), flush=True)
+    print(json.dumps({"posterior": post_stats}), flush=True)
+
+    # sampleWDMass equivalent: per-WD conditionals from posterior draws.
+    from base_tpu.model import conditionals as cond
+
+    draws = jnp.asarray(np.asarray(xs).reshape(-1, 9)[::64])
+    t1 = time.perf_counter()
+    out = cond.sample_wd_masses(model, draws, jax.random.PRNGKey(9))
+    jax.block_until_ready(out.zams_mass)
+    dt2 = time.perf_counter() - t1
+    zm = np.asarray(out.zams_mass)
+    wm = np.asarray(out.wd_mass)
+    truth_zams = np.asarray(cat.mass1)[is_wd]
+    err = zm.mean(0) - truth_zams
+    cover = np.abs(err) < 2.5 * zm.std(0) + 0.05
+    print(json.dumps({
+        "wd_conditionals": {
+            "draws": int(draws.shape[0]), "wall_s": round(dt2, 2),
+            "zams_mass_rmse": round(float(np.sqrt((err ** 2).mean())), 4),
+            "zams_mass_cover_2p5sd": round(float(cover.mean()), 3),
+            "wd_mass_mean": round(float(wm.mean()), 4),
+        }
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -124,6 +124,66 @@ def test_sbc_rank_uniformity_mh(small_grid):
 
 
 @pytest.mark.slow
+def test_sbc_rank_uniformity_hmc_binaries(small_grid):
+    """Binaries-ON calibration (r3 advisor): the fitted density
+    integrates EVERY star over the mass-ratio continuum q in [0, 1]
+    (uniform in secondary mass m2, with q = 0 the dark-companion limit
+    reached through the soft ramp), so the self-consistent generative
+    draw is percent_binary = 1 with q ~ U(0, 1) — which, for m2 = q m1,
+    IS uniform in m2.  The simulator's companion flux uses the same
+    smoothstep lookup + lit ramp as the likelihood table
+    (sim.simulate/likelihood.companion_lit_weight), which is exactly the
+    consistency this test pins."""
+    truths = _draw_truths(np.random.default_rng(7))
+    n_stars = 24   # binaries multiply T by n_q: keep the batched run
+    stars_list = []
+    for r in range(R):
+        cat = simulate_cluster(
+            small_grid, jnp.asarray(truths[r]), n_stars,
+            jax.random.PRNGKey(300 + r), percent_binary=1.0,
+            min_mass=0.15,
+        )
+        sc = scatter_cluster(cat.mags, jax.random.PRNGKey(400 + r),
+                             limit_mag=33.0)
+        stars_list.append(
+            make_ms_stars(np.asarray(sc.mags), np.asarray(sc.sigmas),
+                          cm_prior=0.999)
+        )
+    stars_batched = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *stars_list
+    )
+
+    frame = post.make_single_pop_model(
+        small_grid, jax.tree_util.tree_map(lambda x: x[0], stars_batched),
+        prior_mean=BASE, prior_sigma=PRIOR_SIGMA,
+        n_q=6, binaries=True,
+    )
+    tr = post.default_transform(frame)
+    cfg = HMCConfig(n_warmup=144, n_samples=288, l_max=16, n_windows=3,
+                    dense_mass=True,
+                    free_mask=(1, 1, 1, 1, 1, 0, 0, 0, 0))
+
+    def run_one(stars_r, truth_r, key):
+        model_r = dataclasses.replace(frame, stars=stars_r)
+        fz = post.make_logpost_z_fn(model_r, tr)
+        z0 = tr.inverse(truth_r)[None, :]
+        zs, _ = run_hmc(fz, z0, key, cfg)
+        return jax.vmap(jax.vmap(tr.forward))(zs)[:, 0, :]
+
+    keys = jax.random.split(jax.random.PRNGKey(13), R)
+    samples = jax.jit(jax.vmap(run_one))(
+        stars_batched, jnp.asarray(truths), keys
+    )
+    s = np.asarray(samples)
+    assert np.isfinite(s).all()
+
+    thin = s[:, ::4, :]
+    for p in CHECK:
+        ranks = (thin[:, :, p] < truths[:, p][:, None]).mean(axis=1)
+        _assert_uniform_ranks(ranks, p)
+
+
+@pytest.mark.slow
 def test_sbc_rank_uniformity_hmc(small_grid):
     # Same truth/data collection as the MH test: with R = 64 the
     # rank-mean criterion sits near its own noise floor, and unlucky

@@ -183,3 +183,58 @@ def test_sqlite_store_roundtrip(workdir, rng):
     )
     np.testing.assert_allclose(logpost.reshape(20, 3), lp, atol=1e-6)
     assert meta["sampler"] == "hmc" and meta["seed"] == "7"
+
+
+def test_use_pallas_auto_resolution():
+    """mcmc.usePallas='auto' resolves by backend: False on the CPU CI
+    backend, passthrough for explicit values (VERDICT r3 #7)."""
+    from base_tpu.io.settings import resolve_use_pallas
+
+    assert resolve_use_pallas("auto") is False  # CI backend is CPU
+    assert resolve_use_pallas(True) is True
+    assert resolve_use_pallas(False) is False
+    assert resolve_use_pallas("true") is True
+    assert resolve_use_pallas("off") is False
+
+
+def test_multipop_settings_section():
+    """multiPop section keys (reference-style YA/YB/lambda starts &
+    steps, SURVEY.md C12) load and override."""
+    s = load_settings(None, [
+        "multiPop.startY_A=0.25", "multiPop.startY_B=0.31",
+        "multiPop.startLambda=0.4", "multiPop.stepLambda=0.02",
+    ])
+    assert s.multiPop.startY_A == 0.25
+    assert s.multiPop.startY_B == 0.31
+    assert s.multiPop.startLambda == 0.4
+    assert s.multiPop.stepLambda == 0.02
+    # defaults: NaN = derive from cluster Y
+    d = load_settings(None, [])
+    assert np.isnan(d.multiPop.startY_A)
+
+
+def test_sqlite_store_cli_wiring(workdir):
+    """--store sqlite on single-pop writes <base>.db through
+    io.sqlite_store alongside the .res (VERDICT r3 #9)."""
+    cfg = workdir / "sq.yaml"
+    cfg.write_text(
+        "cluster:\n  starting_logAge: 9.5\n"
+        "simCluster:\n  nStars: 24\n  percentBinary: 0.0\n"
+        "mcmc:\n  chains: 2\n  runIter: 64\n  stage1Iter: 50\n"
+        "  stage2IterMax: 50\n  sampler: mh\n  noBinaries: true\n"
+    )
+    base = ["--config", str(cfg)]
+    out = ["--outputFileBase", str(workdir / "sq"), "--seed", "3"]
+    main(["simulate"] + base + out)
+    main(["scatter"] + base + out
+         + ["--photFile", str(workdir / "sq.sim.phot")])
+    main(["single-pop"] + base + out + ["--store", "sqlite",
+         "--photFile", str(workdir / "sq.phot")])
+    from base_tpu.io.sqlite_store import read_res_sqlite
+
+    params, logpost, chain, meta = read_res_sqlite(str(workdir / "sq.db"))
+    res = resio.read_res(str(workdir / "sq.res"))
+    assert params.shape[0] == res.params.shape[0] == 64
+    np.testing.assert_allclose(params[:, :6], res.params[:, :6], atol=1e-5)
+    assert meta["tool"] == "single-pop"
+    assert set(np.unique(chain)) == {0, 1}

@@ -145,3 +145,40 @@ def test_cli_kill_resume_bit_identical(photdir, tmp_path):
     b = resio.read_res(str(photdir / "clean.res"))
     np.testing.assert_array_equal(a.params, b.params)
     np.testing.assert_array_equal(a.logpost, b.logpost)
+
+
+def test_multipop_mesh_cli(photdir):
+    """multi-pop --mesh: the multiPop density through the SAME sharded
+    (chains x stars) machinery as single-pop (VERDICT r3 #3) — 12-param
+    chain with the ordered Y_A < Y_B transform intact on the 8-device
+    mesh."""
+    main(
+        ["multi-pop", "--config", str(photdir / "cfg.yaml"),
+         "--photFile", str(photdir / "sim.phot"),
+         "--outputFileBase", str(photdir / "mpmesh"), "--seed", "7",
+         "--mesh", "4,2",
+         "--set", "mcmc.runIter=192", "--set", "mcmc.warmup=96"]
+    )
+    raw = np.loadtxt(str(photdir / "mpmesh.mp.res"), skiprows=1)
+    assert raw.shape == (192, 14)  # 12 params + logPost + chain
+    assert np.isfinite(raw).all()
+    ya, yb = raw[:, 9], raw[:, 10]
+    assert (yb > ya).all()
+    assert abs(raw[:, 0].mean() - 9.5) < 0.25
+
+
+def test_multipop_mesh_resume_runs(photdir):
+    """multi-pop --resume writes and consumes the .mp.ckpt checkpoint
+    (smoke: two invocations — the second restores the finished store and
+    rewrites identical output)."""
+    argv = ["multi-pop", "--config", str(photdir / "cfg.yaml"),
+            "--photFile", str(photdir / "sim.phot"),
+            "--outputFileBase", str(photdir / "mpres"), "--seed", "7",
+            "--resume",
+            "--set", "mcmc.runIter=96", "--set", "mcmc.warmup=64"]
+    main(argv)
+    assert os.path.exists(str(photdir / "mpres.mp.ckpt"))
+    a = np.loadtxt(str(photdir / "mpres.mp.res"), skiprows=1)
+    main(argv)  # resumes from the completed checkpoint
+    b = np.loadtxt(str(photdir / "mpres.mp.res"), skiprows=1)
+    np.testing.assert_array_equal(a, b)

@@ -95,7 +95,7 @@ def test_smc_sharded_matches_single():
         device_fn, mesh=mesh, in_specs=Pt(),
         out_specs=(Pt(CHAIN_AXIS, None),
                    dict(log_evidence=Pt(), beta=Pt(), n_stages=Pt(),
-                        accept=Pt(), betas=Pt())),
+                        accept=Pt(), betas=Pt(), move_scale=Pt())),
         check_vma=False,
     ))
     z, info = fn(jax.random.PRNGKey(2))
@@ -103,3 +103,42 @@ def test_smc_sharded_matches_single():
     assert zs.shape == (2048, 2)
     np.testing.assert_allclose(zs.mean(0), MEAN, atol=0.15)
     np.testing.assert_allclose(float(info["log_evidence"]), LOG_Z, atol=0.2)
+
+
+def test_smc_move_autotune_reaches_band():
+    """A deliberately mis-scaled move kernel (move_scale 30x too big)
+    must be pulled into a usable acceptance band by the per-stage
+    autotuner (VERDICT r3 #6: the r3 artifact sat at 0.13)."""
+    cfg = smc.SMCConfig(n_particles=1024, n_move=4, move_scale=30.0,
+                        max_stages=32, ess_target=0.8)
+    z, info = jax.jit(
+        lambda k: smc.run_smc(log_target, sample_q0, log_q0, k, cfg)
+    )(jax.random.PRNGKey(3))
+    zs = np.asarray(z)
+    # scale adapted down by orders of magnitude...
+    assert float(info["move_scale"]) < 10.0
+    # ...and the posterior is still right.
+    np.testing.assert_allclose(zs.mean(0), MEAN, atol=0.15)
+    np.testing.assert_allclose(
+        float(info["log_evidence"]), LOG_Z, atol=0.2
+    )
+
+
+def test_smc_replicated_evidence_se():
+    """run_smc_replicated: pooled particles + a repeat-run standard
+    error that actually covers the analytic log evidence."""
+    cfg = smc.SMCConfig(n_particles=512, n_move=3)
+    z, info = jax.jit(
+        lambda k: smc.run_smc_replicated(
+            log_target, sample_q0, log_q0, k, cfg, n_rep=4
+        )
+    )(jax.random.PRNGKey(4))
+    assert z.shape == (4 * 512, 2)
+    le = float(info["log_evidence"])
+    se = float(info["log_evidence_se"])
+    assert se > 0.0
+    assert info["log_evidences"].shape == (4,)
+    # mean within ~4 combined-error of truth (se underestimates total
+    # error slightly at n_rep=4; keep a wide band)
+    assert abs(le - LOG_Z) < max(4 * se, 0.25)
+    np.testing.assert_allclose(np.asarray(z).mean(0), MEAN, atol=0.15)
