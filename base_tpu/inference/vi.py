@@ -176,6 +176,37 @@ def posterior_covariance(res: VIResult) -> Array:
     return jnp.diag(res.scale * res.scale)
 
 
+def vi_warm_start(
+    logpost_z: Callable[[Array], Array],
+    z0: Array,
+    key: Array,
+    n_chains: int,
+    free_mask=None,
+    cfg: VIConfig | None = None,
+    chunk_steps: int = 100,
+):
+    """Full-rank-VI warm start for HMC at scale: returns
+    (init_z [C, P], inv_mass0 [P, P], VIResult).
+
+    At pod scale the posterior is far tighter than chain-init jitter and
+    an identity-metric warmup never finds it (VERDICT r3 #1); VI lands
+    the chains in the typical set and its covariance seeds the dense
+    metric (hmc.warmup / driver runner `inv_mass0`).  Pinned dims
+    (free_mask 0) keep z0's value in the draws and a unit diagonal in
+    the metric — matching hmc._window_update's own projection."""
+    if cfg is None:
+        cfg = VIConfig(n_steps=600, n_mc=8, full_rank=True,
+                       learning_rate=2e-2, init_log_sd=-4.0)
+    res = run_vi_chunked(logpost_z, z0, key, cfg, chunk_steps)
+    cov = posterior_covariance(res)
+    draws = sample_posterior(res, jax.random.fold_in(key, 1), n_chains)
+    if free_mask is not None:
+        m = jnp.asarray(free_mask, jnp.float32)
+        cov = cov * (m[:, None] * m[None, :]) + jnp.diag(1.0 - m)
+        draws = jnp.where(m[None, :] > 0, draws, z0[None, :])
+    return draws, cov, res
+
+
 def sample_posterior(res: VIResult, key: Array, n: int) -> Array:
     """Draw n samples from the fitted family (unconstrained space)."""
     P = res.mu.shape[0]

@@ -177,7 +177,7 @@ def log_lik(model: MultiPopModel, params: Array) -> tuple[Array, Array]:
             )
             return wd_mod.wd_star_log_marginals(
                 model.wd_stars, mags, valid, model.mz_grid, mod, av,
-                model.abs_coefs, model.p_db,
+                model.abs_coefs, model.p_db, model.use_pallas,
             )
 
         wd_mix = _lambda_mix(lam_c, wd_marginals(ya), wd_marginals(yb))

@@ -139,7 +139,7 @@ def log_lik(model: SinglePopModel, params: Array) -> tuple[Array, Array]:
         )
         ll = ll + wd_mod.wd_total_loglik(
             model.wd_stars, mags, valid, model.mz_grid, mod, av,
-            model.abs_coefs, model.p_db,
+            model.abs_coefs, model.p_db, model.use_pallas,
         )
     return ll, iso.in_bounds
 

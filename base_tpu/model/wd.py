@@ -100,6 +100,53 @@ def wd_model_mags(
     return mags, logg, valid
 
 
+def wd_segment_table(
+    mags: Array,        # [2, K, B] absolute model mags (DA, DB)
+    valid: Array,       # [K]
+    mz_grid: Array,     # [K]
+    modulus: Array,
+    absorption: Array,
+    abs_coefs: Array,
+    p_db: float = 0.1,
+):
+    """Segment table over the precursor-mass chain, DA and DB branches
+    concatenated with the mixture weights folded into logw.
+
+    Same construction as the MS path (likelihood.build_segment_table):
+    within a segment the apparent magnitudes run linearly from node k to
+    node k+1, so the precursor-mass integral is the closed-form Gaussian
+    segment integral instead of a node sum.  The nodal sum ALIASES: a
+    WD's likelihood width in precursor mass (sigma_phot / |dmag/dMz|,
+    ~0.003-0.03 Msun) is far below any affordable node spacing
+    (96 nodes -> 0.075 Msun), so as theta moves each WD's peak slides
+    between nodes and the summed loglik wiggles by nats — at 400+ stars
+    those wells trap HMC chains (r4 config-3 diagnosis: accept 0.9,
+    R-hat 3).  The mixture normalizer uses the same segment weights, and
+    the shared DA/DB validity mask makes one normalizer serve both
+    branches."""
+    from base_tpu.model import likelihood as lk
+
+    dist = modulus + absorption * abs_coefs
+    app = mags + dist[None, None, :]                           # [2, K, B]
+    lo = app[:, :-1, :]
+    hi = app[:, 1:, :]
+    m_mid = 0.5 * (mz_grid[1:] + mz_grid[:-1])
+    dm = mz_grid[1:] - mz_grid[:-1]
+    logw_m = priors.log_imf(m_mid) + jnp.log(jnp.maximum(dm, 1e-30))
+    seg_valid = (valid[1:] > 0) & (valid[:-1] > 0)
+    log_z = masked_logsumexp(logw_m, seg_valid, axis=-1)
+    wa = jnp.log(jnp.clip(1.0 - p_db, 1e-6, 1.0))
+    wb = jnp.log(jnp.clip(p_db, 1e-6, 1.0))
+    B = mags.shape[-1]
+    return lk.SegmentTable(
+        lo=lo.reshape(-1, B),
+        hi=hi.reshape(-1, B),
+        logw=jnp.concatenate(
+            [logw_m + wa - log_z, logw_m + wb - log_z]),
+        mask=jnp.concatenate([seg_valid, seg_valid]),
+    )
+
+
 def wd_star_log_marginals(
     stars: WDStars,
     mags: Array,        # [2, K, B] absolute model mags (DA, DB)
@@ -109,9 +156,36 @@ def wd_star_log_marginals(
     absorption: Array,
     abs_coefs: Array,
     p_db: float = 0.1,
+    use_pallas: bool = False,
 ) -> Array:
-    """Per-WD log marginal cluster likelihood: IMF-weighted logsumexp
-    over precursor-mass nodes, DA/DB mixture.  [S]"""
+    """Per-WD log marginal cluster likelihood: segment-exact
+    precursor-mass integral, DA/DB mixture.  [S]
+
+    Routes through the same machinery as the MS marginal (incl. the
+    fused Pallas kernel when use_pallas) via a concatenated DA+DB
+    segment table."""
+    from base_tpu.model import likelihood as lk
+
+    table = wd_segment_table(
+        mags, valid, mz_grid, modulus, absorption, abs_coefs, p_db
+    )
+    out = lk.ms_log_marginals(stars, table, use_pallas)
+    return jnp.maximum(out, NEG_INF)
+
+
+def wd_star_log_marginals_nodal(
+    stars: WDStars,
+    mags: Array,        # [2, K, B]
+    valid: Array,       # [K]
+    mz_grid: Array,     # [K]
+    modulus: Array,
+    absorption: Array,
+    abs_coefs: Array,
+    p_db: float = 0.1,
+) -> Array:
+    """Reference nodal quadrature (the r1-r3 implementation, and the
+    reference's own scheme [upstream: WD grid sum in logPostStep]).
+    Kept for cross-checks: converges to the segment form as K grows."""
     dist = modulus + absorption * abs_coefs
     app = mags + dist[None, None, :]                           # [2, K, B]
     diff = stars.obs_mags[None, :, None, :] - app[:, None, :, :]  # [2,S,K,B]
@@ -122,10 +196,6 @@ def wd_star_log_marginals(
     logw = priors.log_imf(mz_grid) + jnp.log(jnp.maximum(dm, 1e-30))  # [K]
     mask = valid[None, None, :]
     marg = masked_logsumexp(ll + logw[None, None, :], mask, axis=-1)  # [2, S]
-    # Normalize the precursor-mass prior over the VALID nodes: the
-    # in-hull mask moves with theta (cooling/atmosphere hulls), so the
-    # unnormalized sum carries a spurious Z(theta) factor — same
-    # correction as likelihood.mass_prior_log_norm.
     marg = marg - masked_logsumexp(logw, valid, axis=-1)
     lda, ldb = marg[0], marg[1]
     wa = jnp.log(jnp.clip(1.0 - p_db, 1e-6, 1.0))
@@ -146,10 +216,12 @@ def wd_total_loglik(
     absorption: Array,
     abs_coefs: Array,
     p_db: float = 0.1,
+    use_pallas: bool = False,
 ) -> Array:
     """Field-mixture total over WD stars (same mixture as the MS path)."""
     log_clust = wd_star_log_marginals(
-        stars, mags, valid, mz_grid, modulus, absorption, abs_coefs, p_db
+        stars, mags, valid, mz_grid, modulus, absorption, abs_coefs,
+        p_db, use_pallas,
     )
     a = stars.log_cm + log_clust
     b = stars.log_1m_cm + stars.field_logdens

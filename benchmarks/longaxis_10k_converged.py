@@ -35,9 +35,6 @@ def main():
     from base_tpu.inference import diagnostics as diag
     from base_tpu.inference.driver import make_hmc_chunked_runner
     from base_tpu.inference.hmc import HMCConfig
-    from base_tpu.inference.vi import (
-        VIConfig, posterior_covariance, run_vi_chunked, sample_posterior,
-    )
     from base_tpu.grids import synthetic
     from base_tpu.model import posterior as post
     from base_tpu.model.stardata import make_ms_stars
@@ -65,13 +62,14 @@ def main():
     print(json.dumps({"backend": jax.default_backend(), "stars": S,
                       "use_pallas": use_pallas}), flush=True)
 
-    # ---- stage 1: full-rank VI ------------------------------------------
+    # ---- stage 1: full-rank VI warm start -------------------------------
+    from base_tpu.inference.vi import vi_warm_start
+
+    C = 16
     t0 = time.perf_counter()
-    vcfg = VIConfig(n_steps=600, n_mc=8, full_rank=True,
-                    learning_rate=2e-2, init_log_sd=-4.0)
-    res = run_vi_chunked(fz, z0, jax.random.PRNGKey(5), vcfg,
-                         chunk_steps=100)
-    jax.block_until_ready(res.mu)
+    init, inv_mass0, res = vi_warm_start(
+        fz, z0, jax.random.PRNGKey(5), C, free_mask=free)
+    jax.block_until_ready(init)
     t_vi = time.perf_counter() - t0
     print(json.dumps({
         "vi_wall_s": round(t_vi, 1),
@@ -79,15 +77,7 @@ def main():
         "vi_age_mu": round(float(tr.forward(res.mu)[0]), 5),
     }), flush=True)
 
-    # VI covariance -> warm-start metric; pinned dims get unit diagonal
-    # (exactly what hmc._window_update enforces for its own estimates).
-    cov = np.asarray(posterior_covariance(res))
-    cov = cov * (free[:, None] * free[None, :]) + np.diag(1.0 - free)
-    inv_mass0 = jnp.asarray(cov)
-
     # ---- stage 2: HMC from VI draws, VI metric --------------------------
-    C = 16
-    init = sample_posterior(res, jax.random.PRNGKey(6), C)
     cfg = HMCConfig(n_warmup=192, n_samples=1024, l_max=24, n_windows=6,
                     dense_mass=True, free_mask=tuple(free),
                     jitter_mode="step", chain_chunk=8,

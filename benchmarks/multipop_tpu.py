@@ -74,16 +74,28 @@ def main():
         "use_pallas": use_pallas,
     }), flush=True)
 
+    # Full-rank-VI warm start (same recipe as the WD/IFMR and 10k
+    # artifacts: VI draws -> chain inits, VI covariance -> metric).
+    from base_tpu.inference.vi import vi_warm_start
+
     C = 32
-    init = jnp.tile(z0[None, :], (C, 1)) + 0.02 * jax.random.normal(
-        jax.random.PRNGKey(3), (C, 12))
+    t_vi0 = time.perf_counter()
+    init, inv_mass0, vres = vi_warm_start(
+        fz, z0, jax.random.PRNGKey(3), C, free_mask=free)
+    jax.block_until_ready(init)
+    t_vi = time.perf_counter() - t_vi0
+    print(json.dumps({"vi_wall_s": round(t_vi, 1),
+                      "vi_elbo": round(float(vres.final_elbo), 2)}),
+          flush=True)
     cfg = HMCConfig(n_warmup=256, n_samples=1024, l_max=48, n_windows=4,
-                    dense_mass=True, free_mask=free, jitter_mode="step")
+                    dense_mass=True, free_mask=free, jitter_mode="step",
+                    init_step=0.1)
     runner = make_hmc_chunked_runner(fz, cfg, chunk_draws=64)
-    zs, info = runner(init, jax.random.PRNGKey(4), 64)   # warm compile
+    zs, info = runner(init, jax.random.PRNGKey(4), 64,
+                      inv_mass0=inv_mass0)               # warm compile
     jax.block_until_ready(zs)
     t0 = time.perf_counter()
-    zs, info = runner(init, jax.random.PRNGKey(5))
+    zs, info = runner(init, jax.random.PRNGKey(5), inv_mass0=inv_mass0)
     jax.block_until_ready(zs)
     dt = time.perf_counter() - t0
     xs = jax.vmap(jax.vmap(tr.forward))(zs)

@@ -77,13 +77,23 @@ def main():
         "free_mask": list(free),
     }), flush=True)
 
-    C = 32
+    # Long warmup + long trajectories: the 8-free-dim posterior couples
+    # the IFMR pair to (age, mod, carb) on a curved ridge that a short
+    # diag-scale budget under-mixes (CPU diagnosis r4).  r4's
+    # segment-exact WD integral (model/wd.py) removed the quadrature
+    # wells that previously trapped chains outright.
+    C = int(os.environ.get("WDIFMR_CHAINS", "16"))
     init = jnp.tile(z0[None, :], (C, 1)) + 0.01 * jax.random.normal(
         jax.random.PRNGKey(2), (C, 9))
-    cfg = HMCConfig(n_warmup=256, n_samples=1024, l_max=32, n_windows=4,
+    cfg = HMCConfig(n_warmup=int(os.environ.get("WDIFMR_WARMUP", "768")),
+                    n_samples=int(os.environ.get("WDIFMR_SAMPLES", "3072")),
+                    l_max=int(os.environ.get("WDIFMR_LMAX", "48")),
+                    target_accept=float(
+                        os.environ.get("WDIFMR_TARGET", "0.8")),
+                    n_windows=6,
                     dense_mass=True, free_mask=free, jitter_mode="step")
     runner = make_hmc_chunked_runner(fz, cfg, chunk_draws=128)
-    zs, info = runner(init, jax.random.PRNGKey(3), 64)   # warm compile
+    zs, info = runner(init, jax.random.PRNGKey(3), 256)  # warm compile
     jax.block_until_ready(zs)
     t0 = time.perf_counter()
     zs, info = runner(init, jax.random.PRNGKey(4))

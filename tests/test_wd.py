@@ -145,3 +145,56 @@ def test_wd_ifmr_sensitivity(wd_dataset):
     shifted = TRUTH.copy()
     shifted[C.Param.IFMR_INTERCEPT] += 0.15
     assert abs(float(f(jnp.asarray(shifted))) - base) > 1.0
+
+
+def test_wd_segment_integral_matches_dense_nodal(wd_dataset):
+    """The segment-exact WD precursor-mass integral at production K must
+    match the nodal quadrature in its converged limit (K -> large), and
+    expose the coarse nodal form's aliasing (r4 config-3 diagnosis: the
+    nodal sum wiggles by nats as theta moves, trapping chains)."""
+    model = wd_dataset
+    p = jnp.asarray(TRUTH).at[6].set(0.721).at[7].set(0.109)
+    mod, av = p[C.Param.MOD], p[C.Param.ABS]
+
+    def marg(fn, K, **kw):
+        mz = jnp.linspace(0.8, C.MAX_WD_PRECURSOR_MASS, K)
+        mags, _, valid = wd_mod.wd_model_mags(
+            model.grid, model.wd_cooling, model.wd_atm, p, mz, "linear"
+        )
+        return np.asarray(fn(
+            model.wd_stars, mags, valid, mz, mod, av, model.abs_coefs,
+            model.p_db, **kw
+        ))
+
+    seg96 = marg(wd_mod.wd_star_log_marginals, 96)
+    seg192 = marg(wd_mod.wd_star_log_marginals, 192)
+    nodal_dense = marg(wd_mod.wd_star_log_marginals_nodal, 4096)
+
+    sel = nodal_dense > -200
+    assert sel.sum() >= 3
+    # segment form converges to the nodal limit as O(h^2) (the chord
+    # slightly over-counts where mags(mz) is convex: ~0.1 nat at K=96,
+    # ~0.03 at K=192 — a smooth theta-independent offset, unlike the
+    # nodal form's theta-dependent aliasing wiggle)
+    np.testing.assert_allclose(seg192[sel], nodal_dense[sel], atol=0.08)
+    np.testing.assert_allclose(seg96[sel], seg192[sel], atol=0.15)
+
+
+def test_wd_segment_pallas_parity(wd_dataset):
+    """use_pallas routes the WD marginal through the fused kernel
+    (interpret mode on CPU) — same answer as the jnp segment path."""
+    model = wd_dataset
+    p = jnp.asarray(TRUTH).at[6].set(0.721).at[7].set(0.109)
+    mod, av = p[C.Param.MOD], p[C.Param.ABS]
+    mz = jnp.linspace(0.8, C.MAX_WD_PRECURSOR_MASS, 96)
+    mags, _, valid = wd_mod.wd_model_mags(
+        model.grid, model.wd_cooling, model.wd_atm, p, mz, "linear"
+    )
+    a = np.asarray(wd_mod.wd_star_log_marginals(
+        model.wd_stars, mags, valid, mz, mod, av, model.abs_coefs,
+        model.p_db, use_pallas=False))
+    b = np.asarray(wd_mod.wd_star_log_marginals(
+        model.wd_stars, mags, valid, mz, mod, av, model.abs_coefs,
+        model.p_db, use_pallas=True))
+    sel = a > -200
+    np.testing.assert_allclose(b[sel], a[sel], atol=5e-2)
