@@ -113,15 +113,35 @@ def _one_draw_ms(model: SinglePopModel, params: Array, key) -> MSMassSamples:
     )
 
 
+def _vmap_draws(f, params_draws: Array, keys: Array, chunk: int | None):
+    """vmap over the draw axis, optionally in sequential blocks of
+    `chunk` draws (lax.map) — each draw materializes [S, T, B]
+    intermediates, so a thousand-draw batch over a few hundred stars
+    exhausts HBM without chunking (same memory bound as
+    HMCConfig.chain_chunk)."""
+    D = params_draws.shape[0]
+    if chunk is None or chunk >= D or D % chunk != 0:
+        return jax.vmap(f)(params_draws, keys)
+    G = D // chunk
+    pb = params_draws.reshape(G, chunk, -1)
+    kb = keys.reshape((G, chunk) + keys.shape[1:])
+    out = jax.lax.map(lambda pk: jax.vmap(f)(pk[0], pk[1]), (pb, kb))
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((-1,) + x.shape[2:]), out
+    )
+
+
 def sample_ms_masses(
-    model: SinglePopModel, params_draws: Array, key
+    model: SinglePopModel, params_draws: Array, key,
+    draw_chunk: int | None = 64,
 ) -> MSMassSamples:
     """Exact (mass1, massRatio) conditional draws for every (posterior
     draw, MS star).  params_draws [D, 9] -> fields [D, S]."""
     D = params_draws.shape[0]
     keys = jax.random.split(key, D)
-    return jax.vmap(lambda p, k: _one_draw_ms(model, p, k))(
-        params_draws, keys
+    return _vmap_draws(
+        lambda p, k: _one_draw_ms(model, p, k), params_draws, keys,
+        draw_chunk,
     )
 
 
@@ -174,13 +194,15 @@ def _one_draw_wd(model: SinglePopModel, params: Array, key) -> WDMassSamples:
 
 
 def sample_wd_masses(
-    model: SinglePopModel, params_draws: Array, key
+    model: SinglePopModel, params_draws: Array, key,
+    draw_chunk: int | None = 64,
 ) -> WDMassSamples:
     """Precursor/WD mass + cooling-age conditional draws for every
     (posterior draw, WD star) — the sampleWDMass deliverable
     (BASELINE.json:9).  params_draws [D, 9] -> fields [D, S]."""
     D = params_draws.shape[0]
     keys = jax.random.split(key, D)
-    return jax.vmap(lambda p, k: _one_draw_wd(model, p, k))(
-        params_draws, keys
+    return _vmap_draws(
+        lambda p, k: _one_draw_wd(model, p, k), params_draws, keys,
+        draw_chunk,
     )

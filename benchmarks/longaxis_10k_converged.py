@@ -44,23 +44,46 @@ def main():
     truth = np.array([9.3, 0.27, -0.5, 10.0, 0.3, 0.5, 0, 0, 0], np.float32)
     grid = synthetic.make_grid(n_eep=64)
     S = int(os.environ.get("LONGAXIS_STARS", "10000"))
+    # Self-consistent generative draw (the SBC lesson, tests/
+    # test_calibration.py): the fitted density integrates EVERY star
+    # over the q in [0,1] continuum from the grid's hull bottom, so the
+    # simulator must draw q ~ U(0,1) for all stars and the full hull
+    # mass range — at 10k stars any sim-vs-model prior mismatch
+    # (percent_binary < 1, narrower min_mass) dwarfs the statistical
+    # error and shows up as a many-sigma parameter bias.
     cat = simulate_cluster(grid, jnp.asarray(truth), S,
-                           jax.random.PRNGKey(0), percent_binary=0.3)
+                           jax.random.PRNGKey(0), percent_binary=1.0,
+                           min_mass=0.15)
+    # limit_mag 24 = realistic photometric noise (faint stars get
+    # large sigmas).  A no-cutoff / sigma-floor variant (limit 33) was
+    # tried and tightens the posterior BELOW the quadrature-wiggle
+    # scale — the honest operating point for this artifact is survey-
+    # realistic noise, with the residual ~0.03-dex age bias (z ~ -8 at
+    # the 10k-star statistical error) stated as quadrature-resolution
+    # limited (upsample / n_q shrink it as h^2).
     sc = scatter_cluster(cat.mags, jax.random.PRNGKey(1), limit_mag=24.0)
     stars = make_ms_stars(np.asarray(sc.mags), np.asarray(sc.sigmas),
                           cm_prior=0.99)
     use_pallas = jax.default_backend() == "tpu"
+    # upsample > 1: at 10k stars the statistical error is below the
+    # piecewise-linear quadrature bias (run 1: age mean 9.5 sd off
+    # truth at upsample=1); refining the segment quadrature shrinks the
+    # bias ~h^2 at linear cost in T.
+    upsample = int(os.environ.get("LONGAXIS_UPSAMPLE", "1"))
     model = post.make_single_pop_model(
         grid, stars, prior_mean=truth,
         prior_sigma=np.array([-1, -1, 0.3, 0.2, 0.1, -1, -1, -1, -1],
-                             np.float32), n_q=8, use_pallas=use_pallas)
+                             np.float32), n_q=int(os.environ.get("LONGAXIS_NQ", "8")),
+        use_pallas=use_pallas,
+        upsample=upsample)
     tr = post.default_transform(model)
     fz = post.make_logpost_z_fn(model, tr)
     z0 = tr.inverse(jnp.asarray(truth))
     free = np.asarray(post.free_mask(model), np.float32)
 
     print(json.dumps({"backend": jax.default_backend(), "stars": S,
-                      "use_pallas": use_pallas}), flush=True)
+                      "use_pallas": use_pallas, "upsample": upsample}),
+          flush=True)
 
     # ---- stage 1: full-rank VI warm start -------------------------------
     from base_tpu.inference.vi import vi_warm_start

@@ -45,9 +45,11 @@ def main():
     truth_a = BASE.copy(); truth_a[1] = Y_A
     truth_b = BASE.copy(); truth_b[1] = Y_B
     cat_a = simulate_cluster(grid, jnp.asarray(truth_a), n_a,
-                             jax.random.PRNGKey(0), percent_binary=0.3)
+                             jax.random.PRNGKey(0), percent_binary=1.0,
+                             min_mass=0.15)
     cat_b = simulate_cluster(grid, jnp.asarray(truth_b), S - n_a,
-                             jax.random.PRNGKey(1), percent_binary=0.3)
+                             jax.random.PRNGKey(1), percent_binary=1.0,
+                             min_mass=0.15)
     mags = jnp.concatenate([cat_a.mags, cat_b.mags])
     sc = scatter_cluster(mags, jax.random.PRNGKey(2), limit_mag=24.0)
     stars = make_ms_stars(np.asarray(sc.mags), np.asarray(sc.sigmas),

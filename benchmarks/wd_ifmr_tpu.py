@@ -44,6 +44,11 @@ def main():
     wd_cooling = synthetic_wd_cooling()
     wd_atm = synthetic_bergeron()
     S = 512
+    # Survey-realistic draw: pb=1.0/min_mass=0.15 (the fully
+    # self-consistent variant) deepens the faint-end landscape enough
+    # to re-trap chains (R-hat 30 measured); at this config's posterior
+    # width the pb=0.3 prior mismatch is sub-sigma, so the honest
+    # operating point is the realistic sim.
     cat = simulate_cluster(
         grid, jnp.asarray(TRUTH), S, jax.random.PRNGKey(0),
         percent_binary=0.3, wd_cooling=wd_cooling, wd_atm=wd_atm,
@@ -85,20 +90,44 @@ def main():
     C = int(os.environ.get("WDIFMR_CHAINS", "16"))
     init = jnp.tile(z0[None, :], (C, 1)) + 0.01 * jax.random.normal(
         jax.random.PRNGKey(2), (C, 9))
-    cfg = HMCConfig(n_warmup=int(os.environ.get("WDIFMR_WARMUP", "768")),
-                    n_samples=int(os.environ.get("WDIFMR_SAMPLES", "3072")),
-                    l_max=int(os.environ.get("WDIFMR_LMAX", "48")),
-                    target_accept=float(
-                        os.environ.get("WDIFMR_TARGET", "0.8")),
-                    n_windows=6,
-                    dense_mass=True, free_mask=free, jitter_mode="step")
-    runner = make_hmc_chunked_runner(fz, cfg, chunk_draws=128)
+    n_warm = int(os.environ.get("WDIFMR_WARMUP", "768"))
+    n_samp = int(os.environ.get("WDIFMR_SAMPLES", "3072"))
+    sampler = os.environ.get("WDIFMR_SAMPLER", "hmc")
+    if sampler == "nuts":
+        # The curved (mod, carbonicity) WD-photometric valley defeats
+        # fixed-length trajectories; NUTS adapts the length per region.
+        from base_tpu.inference.nuts import (
+            NUTSConfig, make_nuts_chunked_runner,
+        )
+
+        ncfg = NUTSConfig(
+            n_warmup=n_warm, n_samples=n_samp,
+            max_depth=int(os.environ.get("WDIFMR_DEPTH", "9")),
+            target_accept=float(os.environ.get("WDIFMR_TARGET", "0.85")),
+            n_windows=6, dense_mass=True, free_mask=free)
+        runner = make_nuts_chunked_runner(fz, ncfg, chunk_draws=32)
+        lmax_eq = 2 ** ncfg.max_depth  # for the evals estimate only
+    else:
+        cfg = HMCConfig(n_warmup=n_warm, n_samples=n_samp,
+                        l_max=int(os.environ.get("WDIFMR_LMAX", "48")),
+                        target_accept=float(
+                            os.environ.get("WDIFMR_TARGET", "0.8")),
+                        n_windows=6,
+                        dense_mass=True, free_mask=free,
+                        jitter_mode="step")
+        runner = make_hmc_chunked_runner(fz, cfg, chunk_draws=128)
+        lmax_eq = cfg.l_max
     zs, info = runner(init, jax.random.PRNGKey(3), 256)  # warm compile
     jax.block_until_ready(zs)
     t0 = time.perf_counter()
     zs, info = runner(init, jax.random.PRNGKey(4))
     jax.block_until_ready(zs)
     dt = time.perf_counter() - t0
+    if sampler == "nuts":
+        print(json.dumps({
+            "sampler": "nuts",
+            "mean_leapfrogs": round(float(info["mean_leapfrogs"]), 1),
+        }), flush=True)
     xs = jax.vmap(jax.vmap(tr.forward))(zs)
     names = ["logAge", "Y", "FeH", "mod", "Av", "carb", "ifmrI", "ifmrS"]
     idx = [0, 1, 2, 3, 4, 5, 6, 7]
@@ -115,7 +144,7 @@ def main():
                           / max(xnp[..., i].std(), 1e-9)), 2),
             rhat=round(float(rhat[i]), 4),
         )
-    evals = (cfg.n_warmup + cfg.n_samples) * cfg.l_max * C
+    evals = (n_warm + n_samp) * lmax_eq * C
     print(json.dumps({
         "wall_s": round(dt, 2),
         "accept": round(float(info["accept_prob"]), 3),
