@@ -110,28 +110,55 @@ class Isochrone:
 
 
 def derive_isochrone(grid: IsochroneGrid, feh, y, age) -> Isochrone:
-    """EEP-aligned 2x2x2 interpolation over the (FeH, Y, logAge) axes."""
-    corners, weights, inside = iops.gather_corners(
-        (grid.feh, grid.y, grid.age), (feh, y, age)
+    """EEP-aligned 2x2x2 interpolation over the (FeH, Y, logAge) axes.
+
+    Dense (gather-free) formulation: per axis the boundary-clamped lerp
+    weights are the hat basis evaluated at the query
+    (ops.interp.hat_weight_matrix — nonzero only on the bracketing two
+    nodes, so this is EXACTLY the 2x2x2 corner blend), and the blend is
+    three tiny tensor contractions.  The previous corner-gather path
+    (searchsorted per axis + 8 gathers per payload) fragmented into
+    dozens of small TPU kernels and its VJP dominated the HMC leapfrog
+    once the marginal moved into the fused Pallas kernel — the r4
+    profile (benchmarks/profile_density.out) measured the table build
+    at ~75% of the full density cost."""
+    wf = iops.hat_weight_matrix(grid.feh, jnp.reshape(feh, (1,)))[0]
+    wy = iops.hat_weight_matrix(grid.y, jnp.reshape(y, (1,)))[0]
+    wa = iops.hat_weight_matrix(grid.age, jnp.reshape(age, (1,)))[0]
+    inside = (
+        (feh >= grid.feh[0]) & (feh <= grid.feh[-1])
+        & (y >= grid.y[0]) & (y <= grid.y[-1])
+        & (age >= grid.age[0]) & (age <= grid.age[-1])
     )
-    mass = iops.blend(corners, weights, grid.mass)
-    mags_num = None
+    w3 = wf[:, None, None] * wy[None, :, None] * wa[None, None, :]
+    mass = jnp.tensordot(w3, grid.mass, axes=3)            # [E]
+    agb_tip = jnp.tensordot(w3, grid.agb_tip, axes=3)
     # Blend mags weighted by corner validity so that a padded corner does
-    # not drag a valid EEP's magnitudes toward the pad values.
-    valid = None
-    for idx, w in zip(corners, weights):
-        v = grid.valid[idx]
-        m = grid.mags[idx] * (w * v)[..., None]
-        mags_num = m if mags_num is None else mags_num + m
-        valid = v if valid is None else jnp.minimum(valid, v)
-    # Weight normalization: sum of w*v over corners (equals 1 when all
-    # corners valid; EEPs kept only when every corner is valid anyway).
-    wv = None
-    for idx, w in zip(corners, weights):
-        t = grid.valid[idx] * w
-        wv = t if wv is None else wv + t
+    # not drag a valid EEP's magnitudes toward the pad values; weight
+    # normalization = sum of w*valid (1 when all corners valid).
+    wv3 = w3[..., None] * grid.valid                       # [F, Y, A, E]
+    wv = jnp.sum(wv3, axis=(0, 1, 2))                      # [E]
+    mags_num = jnp.einsum(
+        "fyae,fyaeb->eb", wv3, grid.mags,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     mags = mags_num / jnp.maximum(wv, 1e-12)[..., None]
-    agb_tip = iops.blend(corners, weights, grid.agb_tip)
+    # An EEP is valid only when EVERY corner of the bracketing 2x2x2
+    # cell is — including zero-weight corners at exact node hits, to
+    # match the corner-gather semantics bit for bit.  Participation
+    # one-hots come from locate (scalar searchsorted, no payload
+    # gathers).
+    def bracket(axis, q):
+        idx = iops.locate(axis, q).idx
+        ar = jnp.arange(axis.shape[0])
+        return ((ar == idx) | (ar == idx + 1)).astype(grid.valid.dtype)
+
+    p3 = (
+        bracket(grid.feh, feh)[:, None, None]
+        * bracket(grid.y, y)[None, :, None]
+        * bracket(grid.age, age)[None, None, :]
+    )[..., None]
+    valid = 1.0 - jnp.max(p3 * (1.0 - grid.valid), axis=(0, 1, 2))
 
     e_idx = jnp.arange(mass.shape[0], dtype=mass.dtype)
     mass_sorted = jnp.where(valid > 0.5, mass, PAD_MASS_BASE + e_idx)
