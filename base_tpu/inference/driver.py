@@ -65,7 +65,7 @@ def run_checkpointed(
             eps=eps,
             samples=jnp.zeros((n_chunks * chunk, C, P)),
             logposts=jnp.zeros((n_chunks * chunk, C)),
-            accepts=jnp.zeros((n_chunks,)),
+            accepts=jnp.zeros((n_chunks * chunk, C)),
             cursor=jnp.zeros((), jnp.int32),
         )
 
@@ -92,7 +92,13 @@ def run_checkpointed(
         store["logposts"] = jax.lax.dynamic_update_slice(
             store["logposts"], lps_t, (lo, 0)
         )
-        store["accepts"] = store["accepts"].at[ci].set(jnp.mean(aps))
+        # Per-draw accepts [n, C] so the final mean can truncate to the
+        # recorded draws only — an uneven last chunk's over-run draws
+        # must not skew the reported acceptance (the chunked runners
+        # weight by recorded draws the same way).
+        store["accepts"] = jax.lax.dynamic_update_slice(
+            store["accepts"], jnp.swapaxes(aps, 0, 1), (lo, 0)
+        )
         store["cursor"] = jnp.asarray(ci + 1, jnp.int32)
         if dcfg.checkpoint_path and (
             (ci + 1) % dcfg.checkpoint_every == 0 or ci + 1 == n_chunks
@@ -106,7 +112,7 @@ def run_checkpointed(
 
     samples = store["samples"][:n_rec]
     info = dict(
-        accept_prob=jnp.mean(store["accepts"]),
+        accept_prob=jnp.mean(store["accepts"][:n_rec]),
         step_size=store["eps"],
         inv_mass=store["inv_mass"],
         logposts=store["logposts"][:n_rec],

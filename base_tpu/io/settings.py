@@ -267,4 +267,13 @@ def resolve_use_pallas(value) -> bool:
         import jax
 
         return jax.default_backend() == "tpu"
-    return v in ("1", "true", "yes", "on")
+    if v in ("1", "true", "yes", "on"):
+        return True
+    if v in ("0", "false", "no", "off"):
+        return False
+    # A typo ('ture', 'enable') must not silently select the slow path —
+    # mirror HMCConfig.__post_init__'s loud validation.
+    raise ValueError(
+        f"mcmc.usePallas: unrecognized value {value!r} "
+        f"(expected true/false/auto)"
+    )

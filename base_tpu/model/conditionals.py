@@ -120,14 +120,27 @@ def _vmap_draws(f, params_draws: Array, keys: Array, chunk: int | None):
     exhausts HBM without chunking (same memory bound as
     HMCConfig.chain_chunk)."""
     D = params_draws.shape[0]
-    if chunk is None or chunk >= D or D % chunk != 0:
+    if chunk is None or chunk >= D:
         return jax.vmap(f)(params_draws, keys)
-    G = D // chunk
+    # Pad the draw axis up to a chunk multiple (repeating the last draw)
+    # and slice the result back to D — a remainder must never disable
+    # chunking, or the full [D, S, T] intermediates materialize at once
+    # (the HBM blowup the chunking exists to prevent).
+    G = -(-D // chunk)
+    pad = G * chunk - D
+    if pad:
+        params_draws = jnp.concatenate(
+            [params_draws, jnp.broadcast_to(
+                params_draws[-1:], (pad,) + params_draws.shape[1:])]
+        )
+        keys = jnp.concatenate(
+            [keys, jnp.broadcast_to(keys[-1:], (pad,) + keys.shape[1:])]
+        )
     pb = params_draws.reshape(G, chunk, -1)
     kb = keys.reshape((G, chunk) + keys.shape[1:])
     out = jax.lax.map(lambda pk: jax.vmap(f)(pk[0], pk[1]), (pb, kb))
     return jax.tree_util.tree_map(
-        lambda x: x.reshape((-1,) + x.shape[2:]), out
+        lambda x: x.reshape((-1,) + x.shape[2:])[:D], out
     )
 
 

@@ -684,6 +684,15 @@ def cmd_multi_pop(args) -> None:
     mpset = s.multiPop
     ya0 = mpset.startY_A if np.isfinite(mpset.startY_A) else y0 - 0.02
     yb0 = mpset.startY_B if np.isfinite(mpset.startY_B) else y0 + 0.02
+    if not ya0 < yb0:
+        # The ordered transform's inverse needs dY > 0; an inverted
+        # start would silently produce NaN initial positions.
+        print(
+            f"multi-pop: startY_A ({ya0}) must be < startY_B ({yb0}) — "
+            f"the populations are identified by Y_A < Y_B",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
     lam0 = float(np.clip(mpset.startLambda, 1e-3, 1.0 - 1e-3))
     pm_ya = mpset.priorY_A if np.isfinite(mpset.priorY_A) else ya0
     pm_yb = mpset.priorY_B if np.isfinite(mpset.priorY_B) else yb0

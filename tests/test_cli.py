@@ -139,6 +139,25 @@ def test_multipop_cli_smoke(workdir):
     assert ((lam > 0) & (lam < 1)).all()
 
 
+def test_multipop_inverted_start_errors(workdir):
+    """startY_A >= startY_B must exit with a clear error, not feed
+    dY <= 0 into the ordered transform's inverse (NaN inits) —
+    ADVICE r4."""
+    cfg = workdir / "mpbad.yaml"
+    cfg.write_text(
+        "simCluster:\n  nStars: 16\n"
+        "multiPop:\n  startY_A: 0.33\n  startY_B: 0.25\n"
+    )
+    base = ["--config", str(cfg)]
+    out = ["--outputFileBase", str(workdir / "mpb"), "--seed", "3"]
+    main(["simulate"] + base + out)
+    main(["scatter"] + base + out
+         + ["--photFile", str(workdir / "mpb.sim.phot")])
+    with pytest.raises(SystemExit):
+        main(["multi-pop"] + base + out
+             + ["--photFile", str(workdir / "mpb.phot")])
+
+
 def test_phot_roundtrip(workdir, rng):
     t = photio.from_simulation(
         ids=None, bands=("U", "B", "V"),
@@ -195,6 +214,9 @@ def test_use_pallas_auto_resolution():
     assert resolve_use_pallas(False) is False
     assert resolve_use_pallas("true") is True
     assert resolve_use_pallas("off") is False
+    for bad in ("ture", "enable", "maybe"):
+        with pytest.raises(ValueError):
+            resolve_use_pallas(bad)
 
 
 def test_multipop_settings_section():

@@ -62,6 +62,24 @@ def test_ms_mass_recovery(sim_and_model):
     assert frac_ok > 0.85, frac_ok
 
 
+def test_draw_chunk_remainder(sim_and_model):
+    """D % chunk != 0 must still run chunked (padded tail) and match the
+    unchunked result exactly (ADVICE r4 medium: the remainder previously
+    disabled chunking and rematerialized the full [D, S, T] workspace)."""
+    model, _, _ = sim_and_model
+    D = 10  # not a multiple of chunk=4
+    draws = jnp.tile(jnp.asarray(TRUTH)[None, :], (D, 1))
+    key = jax.random.PRNGKey(45)
+    a = cond.sample_ms_masses(model, draws, key, draw_chunk=4)
+    b = cond.sample_ms_masses(model, draws, key, draw_chunk=None)
+    for fa, fb in zip(jax.tree_util.tree_leaves(a),
+                      jax.tree_util.tree_leaves(b)):
+        assert fa.shape == fb.shape
+        # Identical RNG keys; lax.map-vs-vmap only reorders f32 fusion.
+        np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
+                                   rtol=5e-3, atol=5e-3)
+
+
 def test_ms_mass_draws_within_isochrone(sim_and_model):
     model, _, _ = sim_and_model
     draws = jnp.tile(jnp.asarray(TRUTH)[None, :], (4, 1))
