@@ -81,17 +81,25 @@ def parse_ms_model(text: str, name: str = "") -> IsochroneGrid:
     cur_cell: dict[float, list] | None = None
     cur_iso: list | None = None
 
-    for raw in text.splitlines():
+    for lineno, raw in enumerate(text.splitlines(), 1):
         line = raw.strip()
         if not line or line.startswith("#"):
             continue
         if line.startswith("%s"):
             bands = line[2:].split()
+            if not bands:
+                raise ValueError(
+                    f"{name or 'ms model'} line {lineno}: %s filter line "
+                    f"declares no bands"
+                )
             continue
         if line.startswith("%f"):
             kv = _parse_kv(line)
             if "feh" not in kv or "y" not in kv:
-                raise ValueError(f"%f line missing [Fe/H]= or Y=: {line!r}")
+                raise ValueError(
+                    f"{name or 'ms model'} line {lineno}: %f section needs "
+                    f"[Fe/H]=<v> and Y=<v>, got {line!r}"
+                )
             key = (kv["feh"], kv["y"])
             cur_cell = cells.setdefault(key, {})
             cur_iso = None
@@ -99,27 +107,54 @@ def parse_ms_model(text: str, name: str = "") -> IsochroneGrid:
         if line.startswith("%a"):
             kv = _parse_kv(line)
             if "logage" not in kv:
-                raise ValueError(f"%a line missing logAge=: {line!r}")
+                raise ValueError(
+                    f"{name or 'ms model'} line {lineno}: %a section needs "
+                    f"logAge=<v>, got {line!r}"
+                )
             if cur_cell is None:
-                raise ValueError("%a before any %f section")
+                raise ValueError(
+                    f"{name or 'ms model'} line {lineno}: %a before any "
+                    f"%f section"
+                )
             cur_iso = cur_cell.setdefault(kv["logage"], [])
             continue
+        if line.startswith("%"):
+            raise ValueError(
+                f"{name or 'ms model'} line {lineno}: unknown marker "
+                f"{line.split()[0]!r} (expected %s/%f/%a)"
+            )
         if cur_iso is None:
-            raise ValueError(f"data row before %f/%a markers: {line!r}")
+            raise ValueError(
+                f"{name or 'ms model'} line {lineno}: data row before "
+                f"%f/%a markers: {line!r}"
+            )
         vals = line.split()
         if not bands:
-            raise ValueError("no %s filter line before data rows")
+            raise ValueError(
+                f"{name or 'ms model'} line {lineno}: no %s filter line "
+                f"before data rows"
+            )
         if len(vals) != 2 + len(bands):
             raise ValueError(
-                f"row has {len(vals)} fields, expected eep+mass+{len(bands)}"
+                f"{name or 'ms model'} line {lineno}: row has {len(vals)} "
+                f"fields, expected eep mass + {len(bands)} band mags"
             )
-        cur_iso.append(
-            (int(float(vals[0])), float(vals[1]),
-             np.array([float(v) for v in vals[2:]], np.float32))
-        )
+        try:
+            cur_iso.append(
+                (int(float(vals[0])), float(vals[1]),
+                 np.array([float(v) for v in vals[2:]], np.float32))
+            )
+        except ValueError as e:
+            raise ValueError(
+                f"{name or 'ms model'} line {lineno}: non-numeric field "
+                f"in data row {line!r} ({e})"
+            ) from None
 
     if not cells:
-        raise ValueError("no isochrone sections found")
+        raise ValueError(
+            f"{name or 'ms model'}: no isochrone sections found "
+            f"(expected %f/%a markers)"
+        )
     feh_axis = np.array(sorted({k[0] for k in cells}), np.float32)
     y_axis = np.array(sorted({k[1] for k in cells}), np.float32)
     ages = sorted({a for cell in cells.values() for a in cell})
@@ -235,32 +270,56 @@ def parse_wd_cooling(
     cur_carb = None
     cur_track: list | None = None
     saw_carb = False
-    for raw in text.splitlines():
+    for lineno, raw in enumerate(text.splitlines(), 1):
         line = raw.strip()
         if not line or line.startswith("#"):
             continue
-        if line.startswith("%c"):
-            cur_carb = float(line.split()[1])
-            saw_carb = True
-            cur_track = None
-            continue
-        if line.startswith("%m"):
-            if cur_carb is None:
-                cur_carb = 0.5  # families without a carbonicity axis
-            m = float(line.split()[1])
-            cur_track = tracks.setdefault(cur_carb, {}).setdefault(m, [])
-            continue
+        try:
+            if line.startswith("%c"):
+                cur_carb = float(line.split()[1])
+                saw_carb = True
+                cur_track = None
+                continue
+            if line.startswith("%m"):
+                if cur_carb is None:
+                    cur_carb = 0.5  # families without a carbonicity axis
+                m = float(line.split()[1])
+                cur_track = tracks.setdefault(cur_carb, {}).setdefault(m, [])
+                continue
+        except (IndexError, ValueError):
+            raise ValueError(
+                f"{name or 'wd cooling'} line {lineno}: marker needs one "
+                f"numeric value, got {line!r}"
+            ) from None
+        if line.startswith("%"):
+            raise ValueError(
+                f"{name or 'wd cooling'} line {lineno}: unknown marker "
+                f"{line.split()[0]!r} (expected %c/%m)"
+            )
         if cur_track is None:
-            raise ValueError(f"data row before %m marker: {line!r}")
-        vals = [float(v) for v in line.split()]
+            raise ValueError(
+                f"{name or 'wd cooling'} line {lineno}: data row before "
+                f"%m marker: {line!r}"
+            )
+        try:
+            vals = [float(v) for v in line.split()]
+        except ValueError:
+            raise ValueError(
+                f"{name or 'wd cooling'} line {lineno}: non-numeric field "
+                f"in row {line!r}"
+            ) from None
         if len(vals) != 3:
             raise ValueError(
-                f"cooling row needs logAge logTeff logRadius: {line!r}"
+                f"{name or 'wd cooling'} line {lineno}: cooling row needs "
+                f"logAge logTeff logRadius (3 fields), got {len(vals)}"
             )
         cur_track.append(tuple(vals))
 
     if not tracks:
-        raise ValueError("no cooling tracks found")
+        raise ValueError(
+            f"{name or 'wd cooling'}: no cooling tracks found "
+            f"(expected %m markers)"
+        )
     carbs = sorted(tracks)
     mass_sets = [set(d) for d in tracks.values()]
     masses = sorted(set.intersection(*mass_sets))
@@ -316,7 +375,7 @@ def _parse_bergeron_table(text: str, bands: Sequence[str]):
     """One Table_DA/Table_DB file -> (log_teff axis, log_g axis, mags)."""
     header: list[str] | None = None
     rows: list[list[float]] = []
-    for raw in text.splitlines():
+    for lineno, raw in enumerate(text.splitlines(), 1):
         line = raw.strip()
         if not line or line.startswith("#"):
             continue
@@ -324,9 +383,21 @@ def _parse_bergeron_table(text: str, bands: Sequence[str]):
         if header is None:
             header = toks
             continue
-        rows.append([float(v) for v in toks])
+        try:
+            vals = [float(v) for v in toks]
+        except ValueError:
+            raise ValueError(
+                f"Bergeron table line {lineno}: non-numeric field in data "
+                f"row {line!r} (only one header line is allowed)"
+            ) from None
+        if len(vals) != len(header):
+            raise ValueError(
+                f"Bergeron table line {lineno}: row has {len(vals)} "
+                f"fields, header declares {len(header)} columns"
+            )
+        rows.append(vals)
     if header is None or not rows:
-        raise ValueError("empty Bergeron table")
+        raise ValueError("empty Bergeron table (need a header + data rows)")
     cols = {c: i for i, c in enumerate(header)}
     if "Teff" not in cols or "logg" not in cols:
         raise ValueError(f"Bergeron header missing Teff/logg: {header}")

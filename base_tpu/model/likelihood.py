@@ -86,6 +86,7 @@ def combined_node_mags(
     modulus: Array,
     absorption: Array,
     abs_coefs: Array,
+    sec_iso: Isochrone | None = None,
 ) -> Array:
     """Apparent combined (primary+secondary) magnitudes at every
     (EEP node, mass ratio) pair: [E, Q, B].
@@ -93,18 +94,29 @@ def combined_node_mags(
     deriveCombinedMags analog [upstream: base9/StellarSystem.cpp —
     SURVEY.md C3]: mag -> flux, sum, -> mag; companions below the
     isochrone's lowest valid mass are dark (q = 0 lands here).
+
+    `sec_iso` is the isochrone the SECONDARY mass lookup runs against —
+    pass the un-upsampled base isochrone when `iso` is quadrature-
+    upsampled.  The model's companion magnitude curve is defined as the
+    smoothstep lookup on the BASE node set; running it on the fine nodes
+    instead would change the continuous model with the quadrature
+    resolution (smoothstep over h/u-wide segments converges to the
+    piecewise-LINEAR base curve as u grows), so upsampling would chase a
+    moving target instead of shrinking the h^2 quadrature bias.
     """
+    if sec_iso is None:
+        sec_iso = iso
     E = iso.mass.shape[0]
     Q = q_grid.shape[0]
     dist = modulus + absorption * abs_coefs  # [B]
     app1 = iso.mags + dist  # [E, B]
     f1 = jnp.exp(-LN10_04 * app1)
     m2 = iso.mass[:, None] * q_grid[None, :]  # [E, Q]
-    mags2 = iso.mags_at_mass(m2.reshape(-1))  # [E*Q, B]
+    mags2 = sec_iso.mags_at_mass(m2.reshape(-1))  # [E*Q, B]
     app2 = mags2.reshape(E, Q, -1) + dist
     # Companions below the isochrone's lowest valid mass are dark (soft
     # ramp — see companion_lit_weight).
-    lit = companion_lit_weight(m2, iso.min_mass)  # [E, Q]
+    lit = companion_lit_weight(m2, sec_iso.min_mass)  # [E, Q]
     f2 = jnp.exp(-LN10_04 * app2) * lit[..., None]
     return -(1.0 / LN10_04) * jnp.log(f1[:, None, :] + f2)  # [E, Q, B]
 
@@ -117,6 +129,7 @@ def build_segment_table(
     abs_coefs: Array,
     binaries: bool = True,
     uniform_q: bool = False,
+    sec_iso: Isochrone | None = None,
 ) -> SegmentTable:
     """Build the per-proposal segment table.
 
@@ -126,6 +139,8 @@ def build_segment_table(
     [SURVEY.md C10]; a fixed q grid is an equivalent static-shape
     quadrature).  `uniform_q` switches the secondary prior from uniform in
     m2 (reference behavior, weight m1*dq) to uniform in q (weight dq).
+    `sec_iso`: base isochrone for the secondary lookup when `iso` is
+    quadrature-upsampled (see combined_node_mags).
     """
     m1 = iso.mass  # [E]
     dm = m1[1:] - m1[:-1]                      # [E-1]
@@ -134,7 +149,9 @@ def build_segment_table(
     logw_m = priors.log_imf(m_mid) + jnp.log(jnp.maximum(dm, 1e-30))
 
     if binaries:
-        comb = combined_node_mags(iso, q_grid, modulus, absorption, abs_coefs)
+        comb = combined_node_mags(
+            iso, q_grid, modulus, absorption, abs_coefs, sec_iso=sec_iso
+        )
         lo = comb[:-1]  # [E-1, Q, B]
         hi = comb[1:]
         Q = q_grid.shape[0]

@@ -68,6 +68,8 @@ class MultiPopModel:
     ifmr_kind: str = dataclasses.field(metadata=dict(static=True), default="linear")
     p_db: float = dataclasses.field(metadata=dict(static=True), default=0.1)
     use_pallas: bool = dataclasses.field(metadata=dict(static=True), default=False)
+    # Quadrature refinement, same semantics as SinglePopModel.upsample.
+    upsample: int = dataclasses.field(metadata=dict(static=True), default=1)
 
 
 def make_multipop_model(
@@ -85,6 +87,7 @@ def make_multipop_model(
     ifmr_kind: str = "linear",
     p_db: float = 0.1,
     use_pallas: bool = False,
+    upsample: int = 1,
 ) -> MultiPopModel:
     mz_grid = None
     if wd_stars is not None:
@@ -111,6 +114,7 @@ def make_multipop_model(
         ifmr_kind=ifmr_kind,
         p_db=p_db,
         use_pallas=use_pallas,
+        upsample=upsample,
     )
 
 
@@ -146,10 +150,16 @@ def log_lik(model: MultiPopModel, params: Array) -> tuple[Array, Array]:
     lam = params[MP_LAMBDA]
 
     def marginals(y):
-        iso = derive_isochrone(model.grid, feh, y, age)
+        base_iso = derive_isochrone(model.grid, feh, y, age)
+        iso = base_iso
+        if model.upsample > 1:
+            from base_tpu.grids.isochrone import upsample_isochrone
+
+            iso = upsample_isochrone(base_iso, model.upsample)
         table = lk.build_segment_table(
             iso, model.q_grid, mod, av, model.abs_coefs,
             binaries=model.binaries, uniform_q=model.uniform_q,
+            sec_iso=base_iso,
         )
         # Normalized per population BEFORE the lambda mix — each
         # population's mass-prior normalizer Z differs (its own hull).

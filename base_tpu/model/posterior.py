@@ -117,9 +117,10 @@ def log_lik(model: SinglePopModel, params: Array) -> tuple[Array, Array]:
     mod = params[C.Param.MOD]
     av = params[C.Param.ABS]
 
-    iso = derive_isochrone(model.grid, feh, y, age)
+    base_iso = derive_isochrone(model.grid, feh, y, age)
+    iso = base_iso
     if model.upsample > 1:
-        iso = upsample_isochrone(iso, model.upsample)
+        iso = upsample_isochrone(base_iso, model.upsample)
     table = lk.build_segment_table(
         iso,
         model.q_grid,
@@ -128,6 +129,10 @@ def log_lik(model: SinglePopModel, params: Array) -> tuple[Array, Array]:
         model.abs_coefs,
         binaries=model.binaries,
         uniform_q=model.uniform_q,
+        # Secondary lookup stays on the BASE node set so upsample refines
+        # the quadrature without changing the continuous model
+        # (likelihood.combined_node_mags docstring).
+        sec_iso=base_iso,
     )
     ll = lk.ms_total_loglik(model.stars, table, model.use_pallas)
     if model.wd_stars is not None:

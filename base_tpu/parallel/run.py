@@ -399,6 +399,129 @@ def run_smc_sharded(
     return particles, info
 
 
+def run_vi_sharded(
+    model,  # SinglePopModel | MultiPopModel
+    transform,
+    z0: Array,        # [P] unconstrained start (VI mean init)
+    key: Array,
+    cfg,              # vi.VIConfig
+    mesh: Mesh,
+    chunk_steps: int = 100,
+):
+    """ADVI over the (chains x stars) mesh — the sharded warm-start path
+    (VERDICT r4 #6: pod-scale VI init previously required the whole star
+    set on one chip).
+
+    Parallel structure: stars shard inside the density (psum over the
+    star axis, exactly as every sampler above); the chain axis carries
+    DATA-parallel ELBO Monte Carlo — each chain shard draws its OWN
+    cfg.n_mc reparameterized samples (fold_in on the chain index) and
+    the ELBO gradient is pmean-pooled across the axis, so a c-way chain
+    axis multiplies the MC sample count by c at fixed wall clock.  The
+    variational parameters stay replicated: they start replicated and
+    every Adam update applies the identical pooled gradient.
+
+    Host-chunked like vi.run_vi_chunked (one scan execution per
+    chunk_steps — the tunnel's execution cap).  Returns a vi.VIResult.
+    """
+    from base_tpu.inference import vi as vi_mod
+
+    frame, stars, wds = _split_frame(model, mesh)
+    opt = vi_mod.optax.adam(cfg.learning_rate)
+    params0 = vi_mod._init_params(z0, cfg)
+    opt_state0 = opt.init(params0)
+
+    def device_fn(stars_local, wd_local, params, opt_state, keys):
+        ci = jax.lax.axis_index(CHAIN_AXIS)
+        base = local_logpost_fn(frame, stars_local, STAR_AXIS, wd_local)
+
+        def logpost_z(z):
+            x = transform.forward(z)
+            return base(x) + transform.log_det_jacobian(z)
+
+        def neg_elbo(params, k):
+            z, entropy = vi_mod._sample_and_entropy(
+                params, jax.random.fold_in(k, ci), cfg.n_mc, cfg.full_rank
+            )
+            lp = jax.vmap(logpost_z)(z)
+            return -(jnp.mean(lp) + entropy)
+
+        def step(carry, k):
+            params, opt_state = carry
+            loss, g = jax.value_and_grad(neg_elbo)(params, k)
+            # Pool the MC gradient across chain shards; params stay
+            # replicated because every shard applies this same update.
+            g = jax.tree_util.tree_map(
+                lambda x: jax.lax.pmean(x, CHAIN_AXIS), g
+            )
+            loss = jax.lax.pmean(loss, CHAIN_AXIS)
+            updates, opt_state = opt.update(g, opt_state)
+            params = vi_mod.optax.apply_updates(params, updates)
+            return (params, opt_state), -loss
+
+        return jax.lax.scan(step, (params, opt_state), keys)
+
+    rep = lambda tree: jax.tree_util.tree_map(lambda _: P(), tree)
+    fn = jax.jit(shard_map(
+        device_fn,
+        mesh=mesh,
+        in_specs=(_star_specs(stars), _star_specs(wds),
+                  rep(params0), rep(opt_state0), P()),
+        out_specs=((rep(params0), rep(opt_state0)), P()),
+        check_vma=True,
+    ))
+
+    keys = jax.random.split(key, cfg.n_steps)
+    carry = (params0, opt_state0)
+    elbos = []
+    for lo in range(0, cfg.n_steps, chunk_steps):
+        carry, e = fn(stars, wds, carry[0], carry[1],
+                      keys[lo : lo + chunk_steps])
+        elbos.append(e)
+    params, _ = carry
+    elbo_trace = jnp.concatenate(elbos)
+
+    if cfg.full_rank:
+        diag = jax.nn.softplus(jnp.diagonal(params["tril"])) + 1e-6
+        scale = jnp.tril(params["tril"], -1) + jnp.diag(diag)
+    else:
+        scale = jnp.exp(params["log_sd"])
+    return vi_mod.VIResult(
+        mu=params["mu"], scale=scale, elbo_trace=elbo_trace,
+        final_elbo=jnp.mean(elbo_trace[-50:]),
+    )
+
+
+def vi_warm_start_sharded(
+    model,
+    transform,
+    z0: Array,
+    key: Array,
+    n_chains: int,
+    mesh: Mesh,
+    free_mask=None,
+    cfg=None,
+    chunk_steps: int = 100,
+):
+    """Sharded analog of vi.vi_warm_start: full-rank VI over the mesh ->
+    (init_z [C, P], inv_mass0 [P, P], VIResult) for the pod recipe
+    (sharded VI init feeding run_hmc_sharded's inv_mass0)."""
+    from base_tpu.inference import vi as vi_mod
+
+    if cfg is None:
+        cfg = vi_mod.VIConfig(n_steps=600, n_mc=8, full_rank=True,
+                              learning_rate=2e-2, init_log_sd=-4.0)
+    res = run_vi_sharded(model, transform, z0, key, cfg, mesh, chunk_steps)
+    cov = vi_mod.posterior_covariance(res)
+    draws = vi_mod.sample_posterior(res, jax.random.fold_in(key, 1),
+                                    n_chains)
+    if free_mask is not None:
+        m = jnp.asarray(free_mask, jnp.float32)
+        cov = cov * (m[:, None] * m[None, :]) + jnp.diag(1.0 - m)
+        draws = jnp.where(m[None, :] > 0, draws, z0[None, :])
+    return draws, cov, res
+
+
 def run_mh_sharded(
     model,  # SinglePopModel | MultiPopModel
     init_position: Array,   # [C_total, P]
@@ -406,18 +529,36 @@ def run_mh_sharded(
     step_init: Array,       # [P]
     cfg: mh_mod.MHConfig,
     mesh: Mesh,
+    burn_model=None,
 ):
     """Reference-parity adaptive MH over the (chains x stars) mesh.
-    Chains are embarrassingly parallel; stars psum inside the density."""
-    frame, stars, wds = _split_frame(model, mesh)
+    Chains are embarrassingly parallel; stars psum inside the density.
 
-    def device_fn(stars_local, wd_local, init_local, key):
+    `burn_model` (optional): a model over the useDuringBurnIn star
+    subset [SURVEY.md C3/C14]; its stars shard over the same star axis
+    and stages 1-2 target its psum-ed density, so reference-parity
+    burn-in keeps full mesh scaling (VERDICT r4 weak #8)."""
+    frame, stars, wds = _split_frame(model, mesh)
+    if burn_model is not None:
+        bframe, bstars, bwds = _split_frame(burn_model, mesh)
+    else:
+        bframe, bstars, bwds = None, None, None
+
+    def device_fn(stars_local, wd_local, bstars_local, bwd_local,
+                  init_local, key):
         ci = jax.lax.axis_index(CHAIN_AXIS)
         dkey = jax.random.fold_in(key, ci)
         f = local_logpost_fn(frame, stars_local, STAR_AXIS, wd_local)
+        f_burn = None
+        if bframe is not None:
+            f_burn = local_logpost_fn(
+                bframe, bstars_local, STAR_AXIS, bwd_local
+            )
 
         def one_chain(pos, k):
-            return mh_mod.run_adaptive_mh(f, pos, k, step_init, cfg)
+            return mh_mod.run_adaptive_mh(
+                f, pos, k, step_init, cfg, logpost_burnin_fn=f_burn
+            )
 
         C_local = init_local.shape[0]
         keys = jax.random.split(dkey, C_local)
@@ -429,11 +570,14 @@ def run_mh_sharded(
         device_fn,
         mesh=mesh,
         in_specs=(_star_specs(stars), _star_specs(wds),
+                  _star_specs(bstars), _star_specs(bwds),
                   P(CHAIN_AXIS, None), P()),
         out_specs=(P(CHAIN_AXIS, None, None), P(CHAIN_AXIS, None), P()),
         check_vma=True,
     )
-    samples, logposts, accept = jax.jit(fn)(stars, wds, init_position, key)
+    samples, logposts, accept = jax.jit(fn)(
+        stars, wds, bstars, bwds, init_position, key
+    )
     # [C_total, n_rec, P] -> [n_rec, C_total, P] to match diagnostics.
     return jnp.swapaxes(samples, 0, 1), dict(
         accept_rate=accept, logposts=logposts

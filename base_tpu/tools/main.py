@@ -508,21 +508,21 @@ def cmd_single_pop(args) -> None:
             f_burn = post.make_logpost_fn(burn_model)
         keys = jax.random.split(key, n_chains)
         init = jnp.tile(jnp.asarray(start)[None, :], (n_chains, 1))
-        if mesh is not None and f_burn is None:
+        if mesh is not None:
             from base_tpu.parallel.run import run_mh_sharded
 
+            # useDuringBurnIn under a mesh: the burn-in subset model
+            # shards over the same star axis (run_mh_sharded burn_model).
             xs, info = run_mh_sharded(
-                model, init, key, jnp.asarray(step0), cfg, mesh
+                model, init, key, jnp.asarray(step0), cfg, mesh,
+                burn_model=(
+                    _build_model_from_phot(s, table.select(table.use_dbi != 0))
+                    if f_burn is not None else None
+                ),
             )
             lps = jnp.swapaxes(info["logposts"], 0, 1)
             accept = float(np.asarray(info["accept_rate"]))
         else:
-            if mesh is not None:
-                print(
-                    "single-pop: useDuringBurnIn subsetting runs on the "
-                    "single-device MH path; ignoring --mesh",
-                    file=sys.stderr,
-                )
             samples, info = jax.jit(jax.vmap(
                 lambda p, k: run_adaptive_mh(
                     f, p, k, jnp.asarray(step0), cfg,
@@ -645,10 +645,14 @@ def cmd_sample_wd_mass(args) -> None:
 def cmd_multi_pop(args) -> None:
     """Two-population helium-spread sampler (multiPopMcmc analog).
 
-    sampler=hmc (default): gradient sampling through the ORDERED
-    (Y_A, dY>0) transform -- the label-switching mode is cut away by the
-    bijection.  sampler=mh: reference-parity 3-stage adaptive MH on the
-    constrained 12-vector.  WDs in the .phot evaluate against both
+    All five samplers run here, single-device or --mesh sharded, through
+    the model-agnostic parallel.run machinery: hmc (default) and nuts
+    gradient-sample through the ORDERED (Y_A, dY>0) transform (the
+    label-switching mode is cut away by the bijection); smc runs
+    tempered SMC with a replicated (or mesh-pooled) evidence estimate;
+    vi fits full-rank ADVI (mesh: MC-sharded ELBO, parallel.run.
+    run_vi_sharded); mh is the reference-parity 3-stage adaptive MH on
+    the constrained 12-vector.  WDs in the .phot evaluate against both
     populations' precursor chains (lambda-mixed)."""
     import jax
     import jax.numpy as jnp
@@ -709,6 +713,7 @@ def cmd_multi_pop(args) -> None:
         bundle.ms, stars, prior_mean, prior_sigma,
         n_q=s.mcmc.nMassRatio, binaries=not s.mcmc.noBinaries,
         use_pallas=resolve_use_pallas(s.mcmc.usePallas),
+        upsample=s.mcmc.upsample,
         **wd_kwargs,
     )
     start = np.concatenate(
@@ -760,6 +765,103 @@ def cmd_multi_pop(args) -> None:
             xs = np.asarray(jnp.swapaxes(samples, 0, 1))
             lps = np.asarray(jnp.swapaxes(info["logposts"], 0, 1))
             accept = float(np.mean(np.asarray(info["accept_rate"])))
+    elif s.mcmc.sampler == "nuts":
+        from base_tpu.inference.nuts import NUTSConfig, make_nuts_chunked_runner
+
+        tr = mp.ordered_transform(model)
+        fz = mp.make_logpost_z_fn(model, tr)
+        z0 = tr.inverse(jnp.asarray(start))
+        init = jnp.tile(z0[None, :], (n_chains, 1))
+        init = init + 0.02 * jax.random.normal(key, init.shape)
+        ncfg = NUTSConfig(
+            n_warmup=s.mcmc.warmup, n_samples=s.mcmc.runIter // n_chains,
+            thin=s.mcmc.thin, target_accept=s.mcmc.targetAccept,
+            dense_mass=s.mcmc.denseMass, free_mask=mp.free_mask(model),
+        )
+        if mesh is not None:
+            from base_tpu.parallel.run import run_nuts_sharded
+
+            zs, info = run_nuts_sharded(
+                model, tr, init, jax.random.fold_in(key, 1), ncfg, mesh
+            )
+            lps = jax.vmap(jax.vmap(fz))(zs)
+        else:
+            zs, info = make_nuts_chunked_runner(fz, ncfg)(
+                init, jax.random.fold_in(key, 1)
+            )
+            lps = info["logposts"]
+        xs = np.asarray(jax.vmap(jax.vmap(tr.forward))(zs))
+        lps = np.asarray(lps)
+        accept = float(info["accept_prob"])
+    elif s.mcmc.sampler == "smc":
+        from base_tpu.inference.smc import SMCConfig, run_smc_replicated
+
+        tr = mp.ordered_transform(model)
+        fz = mp.make_logpost_z_fn(model, tr)
+        z0 = tr.inverse(jnp.asarray(start))
+        n_part = max(s.mcmc.runIter, 256)
+        sd0 = 0.5
+
+        def log_q0(z):
+            return jnp.sum(-0.5 * ((z - z0) / sd0) ** 2
+                           - jnp.log(sd0) - 0.9189385)
+
+        def sample_q0(k, n):
+            return z0[None, :] + sd0 * jax.random.normal(
+                k, (n, z0.shape[0])
+            )
+
+        if mesh is not None:
+            from base_tpu.parallel.mesh import CHAIN_AXIS
+            from base_tpu.parallel.run import run_smc_sharded
+
+            scfg = SMCConfig(
+                n_particles=max(n_part // mesh.shape[CHAIN_AXIS], 64)
+            )
+            z_part, info = run_smc_sharded(
+                model, tr, z0, jax.random.fold_in(key, 2), scfg, mesh,
+                q0_sd=sd0,
+            )
+        else:
+            n_rep = 4
+            scfg = SMCConfig(n_particles=max(n_part // n_rep, 64))
+            z_part, info = jax.jit(
+                lambda k: run_smc_replicated(
+                    fz, sample_q0, log_q0, k, scfg, n_rep=n_rep
+                )
+            )(jax.random.fold_in(key, 2))
+        xs = np.asarray(jax.vmap(tr.forward)(z_part))[:, None, :]
+        lps = np.asarray(jax.vmap(fz)(z_part))[:, None]
+        accept = float(info["accept"])
+        se = (f" +- {float(info['log_evidence_se']):.2f}"
+              if "log_evidence_se" in info else "")
+        print(
+            f"  smc: log_evidence={float(info['log_evidence']):.2f}{se} "
+            f"stages={int(info['n_stages'])} move_accept={accept:.2f}"
+        )
+    elif s.mcmc.sampler == "vi":
+        from base_tpu.inference.vi import VIConfig, run_vi, sample_posterior
+
+        tr = mp.ordered_transform(model)
+        fz = mp.make_logpost_z_fn(model, tr)
+        z0 = tr.inverse(jnp.asarray(start))
+        vcfg = VIConfig(n_steps=max(s.mcmc.warmup * 3, 600), full_rank=True)
+        if mesh is not None:
+            from base_tpu.parallel.run import run_vi_sharded
+
+            res = run_vi_sharded(
+                model, tr, z0, jax.random.fold_in(key, 3), vcfg, mesh
+            )
+        else:
+            res = jax.jit(lambda k: run_vi(fz, z0, k, vcfg))(
+                jax.random.fold_in(key, 3)
+            )
+        n_draw = max(s.mcmc.runIter, 256)
+        z_part = sample_posterior(res, jax.random.fold_in(key, 4), n_draw)
+        xs = np.asarray(jax.vmap(tr.forward)(z_part))[:, None, :]
+        lps = np.asarray(jax.vmap(fz)(z_part))[:, None]
+        accept = float(res.final_elbo)
+        print(f"  vi: final ELBO={float(res.final_elbo):.2f}")
     else:
         tr = mp.ordered_transform(model)
         fz = mp.make_logpost_z_fn(model, tr)

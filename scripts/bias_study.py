@@ -1,0 +1,154 @@
+"""Quadrature bias vs resolution: the h^2 study (VERDICT r4 item 1).
+
+The committed r4 artifacts converge to posteriors 3-8 sigma from truth
+along the age-FeH-mod ridge.  The mechanism: the mass-marginalization
+quadrature (segment-exact in primary mass, nodal in q, combined mags
+LERPed across EEP segments) approximates the continuous model the
+simulator draws from; its error enters every star coherently, so at
+S stars the posterior tightens as 1/sqrt(S) while the bias stays O(h^2)
+— z grows with sqrt(S).
+
+This script measures the bias DIRECTLY (no sampler): MAP + Laplace on
+the config-2 scenario at each (upsample, n_q), reporting the truth-z of
+each free parameter.  MAP drift ~ posterior-mean drift for these
+near-Gaussian posteriors (r4 artifacts: rhat ~1.00, symmetric
+marginals).
+
+Run:  python -u scripts/bias_study.py [S] > benchmarks/bias_study.out
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+if __name__ == "__main__" and os.environ.get("BIAS_STUDY_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+TRUTH = np.array([9.3, 0.27, -0.5, 10.0, 0.3, 0.5, 0, 0, 0], np.float32)
+FREE = [0, 1, 2, 3, 4]
+NAMES = ["logAge", "Y", "FeH", "mod", "Av"]
+
+
+def make_data(S=200, n_field=40, seed=0):
+    from base_tpu.grids import synthetic
+    from base_tpu.model.stardata import make_ms_stars
+    from base_tpu.sim.scatter import scatter_cluster
+    from base_tpu.sim.simulate import simulate_cluster, simulate_field_stars
+
+    grid = synthetic.make_grid(n_eep=64)
+    cat = simulate_cluster(grid, jnp.asarray(TRUTH), S,
+                           jax.random.PRNGKey(seed), percent_binary=1.0,
+                           min_mass=0.15)
+    fmags = simulate_field_stars(jax.random.PRNGKey(seed + 1), n_field,
+                                 cat.mags)
+    mags = jnp.concatenate([cat.mags, fmags])
+    sc = scatter_cluster(mags, jax.random.PRNGKey(seed + 2), limit_mag=26.0)
+    cm = np.concatenate([np.full(S, 0.9, np.float32),
+                         np.full(n_field, 0.3, np.float32)])
+    stars = make_ms_stars(np.asarray(sc.mags), np.asarray(sc.sigmas),
+                          cm_prior=cm)
+    return grid, stars
+
+
+def map_laplace(grid, stars, upsample, n_q, use_pallas=False):
+    from base_tpu.model import posterior as post
+
+    model = post.make_single_pop_model(
+        grid, stars, prior_mean=TRUTH,
+        prior_sigma=np.array([-1, -1, 0.3, 0.2, 0.1, -1, -1, -1, -1],
+                             np.float32),
+        n_q=n_q, upsample=upsample, use_pallas=use_pallas)
+
+    free = jnp.asarray(FREE)
+
+    def f(p5):
+        params = jnp.asarray(TRUTH).at[free].set(p5)
+        return -post.log_post(model, params)
+
+    # Stay inside the grid hull: out-of-hull evaluates to NEG_INF whose
+    # gradient is NaN-contaminated.
+    g9 = model.grid
+    mlo = jnp.asarray([float(g9.age[0]) + 1e-3, float(g9.y[0]) + 1e-4,
+                       float(g9.feh[0]) + 1e-3, -np.inf, 0.0])
+    mhi = jnp.asarray([float(g9.age[-1]) - 1e-3, float(g9.y[-1]) - 1e-4,
+                       float(g9.feh[-1]) - 1e-3, np.inf, 10.0])
+
+    vg = jax.jit(jax.value_and_grad(f))
+    p = jnp.asarray(TRUTH[FREE])
+    # Adam with per-dim scales matched to the posterior widths.
+    scale = jnp.asarray([0.02, 0.03, 0.1, 0.05, 0.005])
+    m = jnp.zeros_like(p)
+    v = jnp.zeros_like(p)
+    lr, b1, b2 = 0.05, 0.9, 0.999
+    for i in range(600):
+        val, g = vg(p)
+        g = g * scale
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        mh = m / (1 - b1 ** (i + 1))
+        vh = v / (1 - b2 ** (i + 1))
+        p = jnp.clip(p - lr * scale * mh / (jnp.sqrt(vh) + 1e-8), mlo, mhi)
+    # Damped Newton polish on the true Hessian (step capped at 2 Adam
+    # scales per dim; reject steps that leave the hull or raise f).
+    H = jax.jit(jax.hessian(f))
+    for _ in range(8):
+        val, g = vg(p)
+        h = H(p)
+        step = jnp.linalg.solve(h, g)
+        step = jnp.clip(step, -2.0 * scale, 2.0 * scale)
+        p_new = jnp.clip(p - step, mlo, mhi)
+        if bool(jnp.isfinite(f(p_new))) and float(f(p_new)) <= float(val):
+            p = p_new
+    h = H(p)
+    cov = jnp.linalg.inv(h)
+    sd = jnp.sqrt(jnp.maximum(jnp.diag(cov), 0.0))
+    return np.asarray(p), np.asarray(sd), float(val)
+
+
+def main():
+    S = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    grid, stars = make_data(S=S)
+    # Reference resolution: the quadrature-converged MAP on the SAME
+    # data.  MAP(R) - MAP(ref) isolates the quadrature bias from this
+    # realization's sampling noise (MAP(ref) - truth), which no
+    # resolution setting can remove — the north star's "match within
+    # Monte-Carlo error" allows exactly that residual.
+    p_ref, sd_ref, _ = map_laplace(grid, stars, upsample=16, n_q=32)
+    print(json.dumps({
+        "S": S, "ref": {"upsample": 16, "n_q": 32},
+        "ref_map_minus_truth": {
+            n: round(float(p_ref[i] - TRUTH[FREE[i]]), 5)
+            for i, n in enumerate(NAMES)},
+        "ref_z_vs_truth": {
+            n: round(float((p_ref[i] - TRUTH[FREE[i]])
+                           / max(sd_ref[i], 1e-9)), 2)
+            for i, n in enumerate(NAMES)},
+    }), flush=True)
+    for upsample, n_q in [(1, 8), (2, 8), (4, 8), (8, 8), (4, 16)]:
+        p, sd, nlp = map_laplace(grid, stars, upsample, n_q)
+        zs = {n: round(float((p[i] - TRUTH[FREE[i]]) / max(sd[i], 1e-9)), 2)
+              for i, n in enumerate(NAMES)}
+        drift = {n: round(float(p[i] - TRUTH[FREE[i]]), 5)
+                 for i, n in enumerate(NAMES)}
+        qbias = {n: round(float(p[i] - p_ref[i]), 5)
+                 for i, n in enumerate(NAMES)}
+        qbias_z = {n: round(float((p[i] - p_ref[i]) / max(sd[i], 1e-9)), 2)
+                   for i, n in enumerate(NAMES)}
+        print(json.dumps({
+            "S": S, "upsample": upsample, "n_q": n_q,
+            "z": zs, "drift": drift,
+            "quad_bias": qbias, "quad_bias_z": qbias_z,
+            "sd": {n: round(float(sd[i]), 5) for i, n in enumerate(NAMES)},
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

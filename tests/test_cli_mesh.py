@@ -182,3 +182,40 @@ def test_multipop_mesh_resume_runs(photdir):
     main(argv)  # resumes from the completed checkpoint
     b = np.loadtxt(str(photdir / "mpres.mp.res"), skiprows=1)
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("sampler", ["nuts", "vi", "smc"])
+def test_multipop_sampler_breadth(photdir, sampler):
+    """multi-pop accepts every sampler the single-pop CLI does
+    (VERDICT r4 #6): nuts/vi/smc run the 12-param ordered-transform
+    density end to end at CI scale."""
+    extra = ["--set", "mcmc.runIter=96", "--set", "mcmc.warmup=48"]
+    if sampler == "smc":
+        extra = ["--set", "mcmc.runIter=256", "--set", "mcmc.warmup=48"]
+    main(
+        ["multi-pop", "--config", str(photdir / "cfg.yaml"),
+         "--photFile", str(photdir / "sim.phot"),
+         "--outputFileBase", str(photdir / f"mp_{sampler}"), "--seed", "7",
+         "--set", f"mcmc.sampler={sampler}"] + extra
+    )
+    raw = np.loadtxt(str(photdir / f"mp_{sampler}.mp.res"), skiprows=1)
+    assert raw.shape[1] == 14  # 12 params + logPost + chain
+    assert np.isfinite(raw[:, :12]).all()
+    ya, yb = raw[:, 9], raw[:, 10]
+    assert (yb > ya).all()
+    assert abs(raw[:, 0].mean() - 9.5) < 0.3
+
+
+def test_multipop_vi_mesh(photdir):
+    """multi-pop sampler=vi under --mesh: the sharded ADVI path
+    (parallel.run.run_vi_sharded) through the CLI."""
+    main(
+        ["multi-pop", "--config", str(photdir / "cfg.yaml"),
+         "--photFile", str(photdir / "sim.phot"),
+         "--outputFileBase", str(photdir / "mp_vi_mesh"), "--seed", "7",
+         "--mesh", "4,2", "--set", "mcmc.sampler=vi",
+         "--set", "mcmc.runIter=96", "--set", "mcmc.warmup=48"]
+    )
+    raw = np.loadtxt(str(photdir / "mp_vi_mesh.mp.res"), skiprows=1)
+    assert np.isfinite(raw[:, :12]).all()
+    assert abs(raw[:, 0].mean() - 9.5) < 0.3
