@@ -31,6 +31,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import Array
 
 from base_tpu.ops.special import NEG_INF
@@ -105,19 +106,7 @@ def _systematic_resample(key, log_w: Array, z: Array, axis_name):
     return z_g[local]
 
 
-def run_smc(
-    log_target: Callable[[Array], Array],
-    sample_q0: Callable[[Array, int], Array],   # (key, n) -> [n, P]
-    log_q0: Callable[[Array], Array],
-    key: Array,
-    cfg: SMCConfig = SMCConfig(),
-    axis_name: str | None = None,
-):
-    """Run adaptive tempered SMC.  Fully traceable; jit (or shard_map +
-    jit, with per-shard keys made identical via the caller) yourself.
-
-    Returns (particles [N, P], info dict with log_evidence, n_stages,
-    final beta, acceptance)."""
+def _smc_init(log_target, sample_q0, log_q0, key, cfg, axis_name):
     k_init, k_run = jax.random.split(key)
     z = sample_q0(k_init, cfg.n_particles)
     lt = jax.vmap(log_target)(z)
@@ -125,16 +114,22 @@ def run_smc(
     n_total = jnp.asarray(cfg.n_particles, jnp.float32)
     if axis_name:
         n_total = jax.lax.psum(n_total, axis_name)
-
     state = SMCState(
         z=z, log_target=lt, log_q0=lq,
         beta=jnp.zeros(()), log_evidence=jnp.zeros(()),
         log_move_scale=jnp.log(jnp.asarray(cfg.move_scale, jnp.float32)),
         key=k_run,
     )
-    d = z.shape[-1]
+    return state, n_total
 
-    def stage(state: SMCState, _):
+
+def _make_smc_stage(log_target, log_q0, cfg, axis_name, n_total, d):
+    """One SMC stage as a pure (state) -> (state, (beta, acc, active))
+    function — shared by the on-device lax.scan (run_smc) and the
+    host-chunked runner (make_smc_chunked_runner, one device execution
+    per stage for the tunneled chip's ~60 s cap)."""
+
+    def stage(state: SMCState, _=None):
         done = state.beta >= 1.0
         # log weight increment for moving beta -> beta': (b'-b)(lt - lq)
         delta_l = state.log_target - state.log_q0
@@ -225,6 +220,26 @@ def run_smc(
         )
         return new, (beta_new, jnp.mean(accs), ~done)
 
+    return stage
+
+
+def run_smc(
+    log_target: Callable[[Array], Array],
+    sample_q0: Callable[[Array, int], Array],   # (key, n) -> [n, P]
+    log_q0: Callable[[Array], Array],
+    key: Array,
+    cfg: SMCConfig = SMCConfig(),
+    axis_name: str | None = None,
+):
+    """Run adaptive tempered SMC.  Fully traceable; jit (or shard_map +
+    jit, with per-shard keys made identical via the caller) yourself.
+
+    Returns (particles [N, P], info dict with log_evidence, n_stages,
+    final beta, acceptance)."""
+    state, n_total = _smc_init(log_target, sample_q0, log_q0, key, cfg,
+                               axis_name)
+    d = state.z.shape[-1]
+    stage = _make_smc_stage(log_target, log_q0, cfg, axis_name, n_total, d)
     state, (betas, accs, active) = jax.lax.scan(
         stage, state, None, length=cfg.max_stages
     )
@@ -282,3 +297,77 @@ def run_smc_replicated(
         move_scale=jnp.mean(infos["move_scale"]),
     )
     return particles.reshape(-1, particles.shape[-1]), info
+
+
+def make_smc_chunked_runner(
+    log_target: Callable[[Array], Array],
+    sample_q0: Callable[[Array, int], Array],
+    log_q0: Callable[[Array], Array],
+    cfg: SMCConfig = SMCConfig(),
+    n_rep: int = 4,
+):
+    """Host-chunked replicated SMC: ONE device execution per tempering
+    stage (all replicates advance together, vmapped), with the host
+    loop stopping as soon as every replicate reaches beta = 1.
+
+    This is the tunnel-safe production shape for big densities (the
+    single-jit run_smc_replicated executes all ~15 stages x n_move
+    moves x n_particles density evals in one device program, which at
+    500+ stars x upsample=4 exceeds the tunneled chip's ~60 s
+    execution kill).  Same math as run_smc: the per-stage function is
+    the SAME _make_smc_stage closure, and stopping early is exact
+    because post-beta=1 stages are no-ops on every state field except
+    the (unused) RNG key.
+
+    Returns runner(key) -> (particles [n_rep * N, P], info) with the
+    run_smc_replicated info contract (log_evidence +- se, stages,
+    pooled acceptance, move_scale).
+    """
+    def init_fn(key):
+        keys = jax.random.split(key, n_rep)
+        return jax.vmap(
+            lambda k: _smc_init(log_target, sample_q0, log_q0, k, cfg,
+                                None)[0]
+        )(keys)
+
+    n_total = jnp.asarray(cfg.n_particles, jnp.float32)
+
+    def one_stage(states):
+        stage = _make_smc_stage(log_target, log_q0, cfg, None, n_total,
+                                states.z.shape[-1])
+        return jax.vmap(stage)(states)
+
+    init_jit = jax.jit(init_fn)
+    stage_jit = jax.jit(one_stage)
+
+    def runner(key):
+        states = init_jit(key)
+        jax.block_until_ready(states.z)
+        betas, accs, actives = [], [], []
+        for _ in range(cfg.max_stages):
+            states, (b, a, act) = stage_jit(states)
+            jax.block_until_ready(states.z)
+            betas.append(np.asarray(b))
+            accs.append(np.asarray(a))
+            actives.append(np.asarray(act))
+            if not actives[-1].any():
+                break
+        act = np.stack(actives).astype(np.float32)       # [stages, R]
+        accs = np.stack(accs)
+        per_rep_acc = (accs * act).sum(0) / np.maximum(act.sum(0), 1.0)
+        les = np.asarray(states.log_evidence)            # [R]
+        info = dict(
+            log_evidence=float(les.mean()),
+            log_evidence_se=float(les.std() / np.sqrt(n_rep)),
+            log_evidences=les,
+            beta=float(np.asarray(states.beta).min()),
+            n_stages=int(act.sum(0).max()),
+            accept=float(per_rep_acc.mean()),
+            betas=np.stack(betas),
+            move_scale=float(np.exp(np.asarray(
+                states.log_move_scale)).mean()),
+        )
+        z = np.asarray(states.z).reshape(-1, states.z.shape[-1])
+        return jnp.asarray(z), info
+
+    return runner

@@ -132,10 +132,15 @@ class McmcSettings:
     usePallas: str = "auto"
     # Quadrature refinement: insert (upsample - 1) exact piecewise-linear
     # nodes per EEP segment before marginalizing (posterior.SinglePopModel
-    # .upsample).  >1 shrinks the smoothstep secondary-lookup bias
-    # (~25 mmag on the synthetic grid at upsample=1) at linear cost in
-    # the segment count.
-    upsample: int = 1
+    # .upsample); the secondary lookup stays on the BASE node set so this
+    # refines the quadrature of a fixed continuous model.  Default 4: the
+    # r5 MAP bias study (scripts/bias_study.py, benchmarks/bias_study.out)
+    # shows the coherent quadrature drift (0.19 mag in modulus at
+    # upsample=1 on config 2 — several posterior sd at 200 stars)
+    # converged by upsample=4, leaving only per-dataset realization
+    # noise.  Cost is linear in upsample through the segment count; set 1
+    # for throughput-only runs on single-star-dominated data.
+    upsample: int = 4
 
 
 @dataclasses.dataclass

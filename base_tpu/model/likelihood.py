@@ -142,43 +142,104 @@ def build_segment_table(
     `sec_iso`: base isochrone for the secondary lookup when `iso` is
     quadrature-upsampled (see combined_node_mags).
     """
-    m1 = iso.mass  # [E]
-    dm = m1[1:] - m1[:-1]                      # [E-1]
-    m_mid = 0.5 * (m1[1:] + m1[:-1])           # [E-1]
-    seg_valid = (iso.valid[1:] > 0.5) & (iso.valid[:-1] > 0.5)
-    logw_m = priors.log_imf(m_mid) + jnp.log(jnp.maximum(dm, 1e-30))
-
     if binaries:
         comb = combined_node_mags(
             iso, q_grid, modulus, absorption, abs_coefs, sec_iso=sec_iso
         )
         lo = comb[:-1]  # [E-1, Q, B]
         hi = comb[1:]
-        Q = q_grid.shape[0]
-        dq = jnp.gradient(q_grid)
-        if uniform_q:
-            logw_q = jnp.broadcast_to(jnp.log(dq)[None, :], (m_mid.shape[0], Q))
-        else:
-            # uniform in m2: dm2 = m1 dq
-            logw_q = (
-                jnp.log(jnp.maximum(m_mid, 1e-12))[:, None]
-                + jnp.log(dq)[None, :]
-            )
-        logw = logw_m[:, None] + logw_q                     # [E-1, Q]
-        mask = jnp.broadcast_to(seg_valid[:, None], logw.shape)
+        logw, mask = _segment_weights(iso, q_grid, uniform_q)
         B = lo.shape[-1]
         return SegmentTable(
-            lo=lo.transpose(0, 1, 2).reshape(-1, B),
+            lo=lo.reshape(-1, B),
             hi=hi.reshape(-1, B),
-            logw=logw.reshape(-1),
-            mask=mask.reshape(-1),
+            logw=logw,
+            mask=mask,
         )
     else:
+        m1 = iso.mass  # [E]
+        dm = m1[1:] - m1[:-1]
+        m_mid = 0.5 * (m1[1:] + m1[:-1])
+        seg_valid = (iso.valid[1:] > 0.5) & (iso.valid[:-1] > 0.5)
+        logw_m = priors.log_imf(m_mid) + jnp.log(jnp.maximum(dm, 1e-30))
         dist = modulus + absorption * abs_coefs
         app = iso.mags + dist  # [E, B]
         return SegmentTable(
             lo=app[:-1], hi=app[1:], logw=logw_m, mask=seg_valid
         )
+
+
+def _segment_weights(iso: Isochrone, q_grid: Array, uniform_q: bool):
+    """(logw [T], mask [T]) for the binaries segment table — shared by
+    the jnp and fused-kernel table builders."""
+    m1 = iso.mass
+    dm = m1[1:] - m1[:-1]                      # [E-1]
+    m_mid = 0.5 * (m1[1:] + m1[:-1])
+    seg_valid = (iso.valid[1:] > 0.5) & (iso.valid[:-1] > 0.5)
+    logw_m = priors.log_imf(m_mid) + jnp.log(jnp.maximum(dm, 1e-30))
+    Q = q_grid.shape[0]
+    dq = jnp.gradient(q_grid)
+    if uniform_q:
+        logw_q = jnp.broadcast_to(jnp.log(dq)[None, :], (m_mid.shape[0], Q))
+    else:
+        # uniform in m2: dm2 = m1 dq
+        logw_q = (
+            jnp.log(jnp.maximum(m_mid, 1e-12))[:, None]
+            + jnp.log(dq)[None, :]
+        )
+    logw = logw_m[:, None] + logw_q                     # [E-1, Q]
+    mask = jnp.broadcast_to(seg_valid[:, None], logw.shape)
+    return logw.reshape(-1), mask.reshape(-1)
+
+
+_AXIS_HUGE = 1.0e30
+
+
+def build_segment_table_fused(
+    iso: Isochrone,
+    q_grid: Array,
+    modulus: Array,
+    absorption: Array,
+    abs_coefs: Array,
+    uniform_q: bool = False,
+    sec_iso: Isochrone | None = None,
+    interpret: bool = False,
+) -> SegmentTable:
+    """build_segment_table(binaries=True) with the combined-mags node
+    construction fused on-chip (ops.pallas_table) — the table half of
+    the BASELINE.json:5 fusion.  Node layout: n = e * Q + k, so the
+    segment rows are contiguous slices lo = comb[:T], hi = comb[Q:].
+    Weights/mask are the shared tiny jnp pieces (_segment_weights)."""
+    from base_tpu.ops.pallas_table import fused_combined_node_mags
+
+    if sec_iso is None:
+        sec_iso = iso
+    E = iso.mass.shape[0]
+    Q = q_grid.shape[0]
+    B = iso.mags.shape[-1]
+    dist = modulus + absorption * abs_coefs             # [B]
+    app1T = (iso.mags + dist[None, :]).T                # [B, E]
+    app1N = jnp.broadcast_to(
+        app1T[:, :, None], (B, E, Q)
+    ).reshape(B, E * Q)
+    m2 = iso.mass[:, None] * q_grid[None, :]            # [E, Q]
+    m2N = m2.reshape(1, -1)
+    litN = companion_lit_weight(m2, sec_iso.min_mass).reshape(1, -1)
+    x = sec_iso.mass_sorted
+    xl = jnp.concatenate([x[:1] - _AXIS_HUGE, x[:-1]])[:, None]
+    xr = jnp.concatenate([x[1:], x[-1:] + _AXIS_HUGE])[:, None]
+    inv_dl = 1.0 / jnp.maximum(x[:, None] - xl, 1e-30)
+    inv_dr = 1.0 / jnp.maximum(xr - x[:, None], 1e-30)
+    secT = (sec_iso.mags + dist[None, :]).T             # [B, E2]
+    comb = fused_combined_node_mags(
+        app1N, m2N, litN, secT, xl, inv_dl, xr, inv_dr,
+        interpret=interpret,
+    )                                                   # [B, E*Q]
+    T = (E - 1) * Q
+    logw, mask = _segment_weights(iso, q_grid, uniform_q)
+    return SegmentTable(
+        lo=comb[:, :T].T, hi=comb[:, Q:].T, logw=logw, mask=mask
+    )
 
 
 def _log_ndtr_diff(a: Array, b: Array) -> Array:

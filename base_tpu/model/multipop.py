@@ -156,11 +156,18 @@ def log_lik(model: MultiPopModel, params: Array) -> tuple[Array, Array]:
             from base_tpu.grids.isochrone import upsample_isochrone
 
             iso = upsample_isochrone(base_iso, model.upsample)
-        table = lk.build_segment_table(
-            iso, model.q_grid, mod, av, model.abs_coefs,
-            binaries=model.binaries, uniform_q=model.uniform_q,
-            sec_iso=base_iso,
-        )
+        if model.use_pallas and model.binaries:
+            table = lk.build_segment_table_fused(
+                iso, model.q_grid, mod, av, model.abs_coefs,
+                uniform_q=model.uniform_q, sec_iso=base_iso,
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            table = lk.build_segment_table(
+                iso, model.q_grid, mod, av, model.abs_coefs,
+                binaries=model.binaries, uniform_q=model.uniform_q,
+                sec_iso=base_iso,
+            )
         # Normalized per population BEFORE the lambda mix — each
         # population's mass-prior normalizer Z differs (its own hull).
         lm = (lk.ms_log_marginals(model.stars, table, model.use_pallas)

@@ -121,19 +121,26 @@ def log_lik(model: SinglePopModel, params: Array) -> tuple[Array, Array]:
     iso = base_iso
     if model.upsample > 1:
         iso = upsample_isochrone(base_iso, model.upsample)
-    table = lk.build_segment_table(
-        iso,
-        model.q_grid,
-        mod,
-        av,
-        model.abs_coefs,
-        binaries=model.binaries,
-        uniform_q=model.uniform_q,
-        # Secondary lookup stays on the BASE node set so upsample refines
-        # the quadrature without changing the continuous model
-        # (likelihood.combined_node_mags docstring).
-        sec_iso=base_iso,
-    )
+    # Secondary lookup stays on the BASE node set so upsample refines
+    # the quadrature without changing the continuous model
+    # (likelihood.combined_node_mags docstring).
+    if model.use_pallas and model.binaries:
+        table = lk.build_segment_table_fused(
+            iso, model.q_grid, mod, av, model.abs_coefs,
+            uniform_q=model.uniform_q, sec_iso=base_iso,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        table = lk.build_segment_table(
+            iso,
+            model.q_grid,
+            mod,
+            av,
+            model.abs_coefs,
+            binaries=model.binaries,
+            uniform_q=model.uniform_q,
+            sec_iso=base_iso,
+        )
     ll = lk.ms_total_loglik(model.stars, table, model.use_pallas)
     if model.wd_stars is not None:
         from base_tpu.model import wd as wd_mod

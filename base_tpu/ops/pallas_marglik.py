@@ -73,12 +73,12 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _tile_core_width(obs, iv, loT, hiT, logw, maskf, n_bands):
-    """Per-tile shared computation.
+def _abg_loop(obs, iv, loT, hiT, n_bands):
+    """Residual-form band loop: alpha/beta/gamma [S_t, T_t] on the VPU.
 
-    Returns (core [S_t, T_t] = -chi2_min/2 + logw, masked to NEG_BIG;
-    width [S_t, T_t] = sqrt(2pi/alpha) * Phi-difference, 1.0 for flat
-    segments; (alpha, beta, gamma); aux pieces for the backward)."""
+    Exact where it matters (r = obs - lo is O(sigma) near the peak), but
+    ~7 VPU ops per (star, segment, band) — the kernel's dominant cost at
+    B ~ 8 (benchmarks/profile_scan.out r5)."""
     St = obs.shape[0]
     Tt = loT.shape[1]
     alpha = jnp.zeros((St, Tt), jnp.float32)
@@ -93,6 +93,58 @@ def _tile_core_width(obs, iv, loT, hiT, logw, maskf, n_bands):
         alpha = alpha + iv_b * d_b * d_b
         beta = beta + iv_b * r_b * d_b
         gamma = gamma + iv_b * r_b * r_b
+    return alpha, beta, gamma
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _abg_matmul(obs, iv, loT, hiT):
+    """MXU contraction form of alpha/beta/gamma.
+
+    The three band contractions are bilinear in (obs, lo, hi), so with
+    the quadratic expanded they become five [S_t, B] @ [B, T_t] matmuls:
+
+      alpha = iv @ d^2
+      beta  = (iv*obs) @ d - iv @ (lo*d)
+      gamma = sum_b iv*obs^2  - 2 (iv*obs) @ lo + iv @ lo^2
+
+    The expansion reintroduces the float32 cancellation the residual
+    form avoids — bounded by eps_f32 * max_b |iv (obs-c)(lo-c)| — so
+    callers pass obs/lo/hi PER-BAND CENTERED (fused_log_marginals
+    subtracts the masked mean observed magnitude, a stop-gradient
+    constant that cancels from every difference).  With |obs-c| <~ 3
+    mag and iv <~ 1e4 the worst-case chi2 error is ~1e-2 against a
+    per-star chi2 scale of O(1): measured max |delta log-marginal| vs
+    the residual form is ~1e-3 (tests/test_pallas_marglik.py), far
+    below the 0.01-0.1 mag photometric noise floor — while the band
+    work leaves the VPU entirely (the r2 bf16 failure mode was 4e-3
+    RELATIVE mag error, ~50x larger than this absolute one)."""
+    ivo = iv * obs                              # [St, B]
+    c0 = jnp.sum(ivo * obs, axis=1, keepdims=True)   # [St, 1]
+    d = hiT - loT                               # [B, Tt]
+    alpha = _dot(iv, d * d)
+    beta = _dot(ivo, d) - _dot(iv, loT * d)
+    gamma = c0 - 2.0 * _dot(ivo, loT) + _dot(iv, loT * loT)
+    gamma = jnp.maximum(gamma, 0.0)
+    return alpha, beta, gamma
+
+
+def _tile_core_width(obs, iv, loT, hiT, logw, maskf, n_bands, mm):
+    """Per-tile shared computation.
+
+    Returns (core [S_t, T_t] = -chi2_min/2 + logw, masked to NEG_BIG;
+    width [S_t, T_t] = sqrt(2pi/alpha) * Phi-difference, 1.0 for flat
+    segments; (alpha, beta, gamma); aux pieces for the backward)."""
+    if mm:
+        alpha, beta, gamma = _abg_matmul(obs, iv, loT, hiT)
+    else:
+        alpha, beta, gamma = _abg_loop(obs, iv, loT, hiT, n_bands)
     core, width, aux = _core_width_of(alpha, beta, gamma, logw, maskf)
     return core, width, alpha, beta, gamma, aux
 
@@ -121,13 +173,13 @@ def _core_width_of(alpha, beta, gamma, logw, maskf):
 
 def _fwd_kernel(
     obs_ref, iv_ref, ln_ref, loT_ref, hiT_ref, logw_ref, mask_ref,
-    out_ref, m_sc, s_sc, *, n_bands: int,
+    out_ref, m_sc, s_sc, *, n_bands: int, mm: bool,
 ):
     ti = pl.program_id(1)
     n_t = pl.num_programs(1)
     core, width, _, _, _, _ = _tile_core_width(
         obs_ref[:], iv_ref[:], loT_ref[:], hiT_ref[:],
-        logw_ref[:], mask_ref[:], n_bands,
+        logw_ref[:], mask_ref[:], n_bands, mm,
     )
     tm = jnp.max(core, axis=1, keepdims=True)            # [St, 1]
     tsum = jnp.sum(
@@ -153,15 +205,24 @@ def _fwd_kernel(
         out_ref[:] = m_sc[:] + jnp.log(s_sc[:] + 1e-15) + ln_ref[:]
 
 
+def _dotT(a, g):
+    """[St, B]^T @ [St, Tt] -> [B, Tt] (contract the star axis)."""
+    return jax.lax.dot_general(
+        a, g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def _bwd_kernel(
     obs_ref, iv_ref, loT_ref, hiT_ref, logw_ref, mask_ref,
     out_ref, g_ref,
-    dlo_ref, dhi_ref, dlogw_ref, *, n_bands: int,
+    dlo_ref, dhi_ref, dlogw_ref, *, n_bands: int, mm: bool,
 ):
     si = pl.program_id(1)
     core, width, alpha, beta, gamma, aux = _tile_core_width(
         obs_ref[:], iv_ref[:], loT_ref[:], hiT_ref[:],
-        logw_ref[:], mask_ref[:], n_bands,
+        logw_ref[:], mask_ref[:], n_bands, mm,
     )
     u0, u1, width_s, unear_sq, live, mu, rsq = aux
     # out_ref/g_ref are [St, 1]; out' = m + log(sum) so
@@ -197,32 +258,62 @@ def _bwd_kernel(
     gc = gw * (-0.5)
 
     first = si == 0
-    for bnd in range(n_bands):
-        lo_b = loT_ref[bnd : bnd + 1, :]
-        d_b = hiT_ref[bnd : bnd + 1, :] - lo_b
-        o_b = obs_ref[:, bnd : bnd + 1]
-        iv_b = iv_ref[:, bnd : bnd + 1]
-        r_b = o_b - lo_b
-        # d alpha/d lo = -2 iv d ; d beta/d lo = -iv (d + r) ;
-        # d gamma/d lo = -2 iv r
-        dlo_t = jnp.sum(
-            iv_b * (-2.0 * ga * d_b - gb * (d_b + r_b) - 2.0 * gc * r_b),
-            axis=0, keepdims=True,
-        )                                                  # [1, Tt]
-        # d alpha/d hi = 2 iv d ; d beta/d hi = iv r
-        dhi_t = jnp.sum(
-            iv_b * (2.0 * ga * d_b + gb * r_b), axis=0, keepdims=True
-        )
+    if mm:
+        # MXU form: the star-axis contractions of the cotangent chain are
+        # five [B, St] @ [St, Tt] matmuls (A1 = iv^T ga, B1 = iv^T gb,
+        # B2 = (iv obs)^T gb, C1 = iv^T gc, C2 = (iv obs)^T gc) and the
+        # band-loop identity  dlo = sum_s iv(-2 ga d - gb(d+r) - 2 gc r)
+        # expands (r = obs - lo) to pure [B, Tt] elementwise assembly.
+        obs = obs_ref[:]
+        iv = iv_ref[:]
+        ivo = iv * obs
+        loT = loT_ref[:]
+        dT = hiT_ref[:] - loT
+        A1 = _dotT(iv, ga)
+        B1 = _dotT(iv, gb)
+        B2 = _dotT(ivo, gb)
+        C1 = _dotT(iv, gc)
+        C2 = _dotT(ivo, gc)
+        dhi_t = 2.0 * dT * A1 + (B2 - loT * B1)
+        dlo_t = -2.0 * dT * A1 - (dT * B1 + B2 - loT * B1) \
+            - 2.0 * (C2 - loT * C1)
 
         @pl.when(first)
-        def _(bnd=bnd, dlo_t=dlo_t, dhi_t=dhi_t):
-            dlo_ref[bnd : bnd + 1, :] = dlo_t
-            dhi_ref[bnd : bnd + 1, :] = dhi_t
+        def _():
+            dlo_ref[:] = dlo_t
+            dhi_ref[:] = dhi_t
 
         @pl.when(jnp.logical_not(first))
-        def _(bnd=bnd, dlo_t=dlo_t, dhi_t=dhi_t):
-            dlo_ref[bnd : bnd + 1, :] = dlo_ref[bnd : bnd + 1, :] + dlo_t
-            dhi_ref[bnd : bnd + 1, :] = dhi_ref[bnd : bnd + 1, :] + dhi_t
+        def _():
+            dlo_ref[:] = dlo_ref[:] + dlo_t
+            dhi_ref[:] = dhi_ref[:] + dhi_t
+    else:
+        for bnd in range(n_bands):
+            lo_b = loT_ref[bnd : bnd + 1, :]
+            d_b = hiT_ref[bnd : bnd + 1, :] - lo_b
+            o_b = obs_ref[:, bnd : bnd + 1]
+            iv_b = iv_ref[:, bnd : bnd + 1]
+            r_b = o_b - lo_b
+            # d alpha/d lo = -2 iv d ; d beta/d lo = -iv (d + r) ;
+            # d gamma/d lo = -2 iv r
+            dlo_t = jnp.sum(
+                iv_b * (-2.0 * ga * d_b - gb * (d_b + r_b) - 2.0 * gc * r_b),
+                axis=0, keepdims=True,
+            )                                                  # [1, Tt]
+            # d alpha/d hi = 2 iv d ; d beta/d hi = iv r
+            dhi_t = jnp.sum(
+                iv_b * (2.0 * ga * d_b + gb * r_b), axis=0, keepdims=True
+            )
+
+            @pl.when(first)
+            def _(bnd=bnd, dlo_t=dlo_t, dhi_t=dhi_t):
+                dlo_ref[bnd : bnd + 1, :] = dlo_t
+                dhi_ref[bnd : bnd + 1, :] = dhi_t
+
+            @pl.when(jnp.logical_not(first))
+            def _(bnd=bnd, dlo_t=dlo_t, dhi_t=dhi_t):
+                dlo_ref[bnd : bnd + 1, :] = dlo_ref[bnd : bnd + 1, :] + dlo_t
+                dhi_ref[bnd : bnd + 1, :] = dhi_ref[bnd : bnd + 1, :] + dhi_t
 
     dw_t = jnp.sum(gw, axis=0, keepdims=True)              # [1, Tt]
 
@@ -250,7 +341,7 @@ def _tiles(S: int, T: int, bwd: bool = False):
     return s_tile, t_tile
 
 
-def _fwd(obs, inv_var, log_norm, lo, hi, logw, maskf, interpret):
+def _fwd(obs, inv_var, log_norm, lo, hi, logw, maskf, interpret, mm):
     S, B = obs.shape
     T = lo.shape[0]
     S_TILE, T_TILE = _tiles(S, T)
@@ -267,7 +358,7 @@ def _fwd(obs, inv_var, log_norm, lo, hi, logw, maskf, interpret):
 
     grid = (Sp // S_TILE, Tp // T_TILE)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, n_bands=B),
+        functools.partial(_fwd_kernel, n_bands=B, mm=mm),
         grid=grid,
         in_specs=[
             pl.BlockSpec((S_TILE, B), lambda si, ti: (si, 0),
@@ -299,11 +390,11 @@ def _fwd(obs, inv_var, log_norm, lo, hi, logw, maskf, interpret):
     return out, residuals
 
 
-def _fwd_rule(interpret, obs, inv_var, log_norm, lo, hi, logw, maskf):
-    return _fwd(obs, inv_var, log_norm, lo, hi, logw, maskf, interpret)
+def _fwd_rule(interpret, mm, obs, inv_var, log_norm, lo, hi, logw, maskf):
+    return _fwd(obs, inv_var, log_norm, lo, hi, logw, maskf, interpret, mm)
 
 
-def _bwd_rule(interpret, residuals, g):
+def _bwd_rule(interpret, mm, residuals, g):
     obs, inv_var, log_norm, lo, hi, logw, maskf, out = residuals
     S, B = obs.shape
     T = lo.shape[0]
@@ -325,7 +416,7 @@ def _bwd_rule(interpret, residuals, g):
 
     grid = (Tp // T_TILE, Sp // S_TILE)   # s innermost: accumulate over s
     dloT, dhiT, dlogw = pl.pallas_call(
-        functools.partial(_bwd_kernel, n_bands=B),
+        functools.partial(_bwd_kernel, n_bands=B, mm=mm),
         grid=grid,
         in_specs=[
             pl.BlockSpec((S_TILE, B), lambda ti, si: (si, 0),
@@ -372,16 +463,17 @@ def _bwd_rule(interpret, residuals, g):
     return (zeros_obs, zeros_iv, dln, dlo, dhi, dlogw_out, dmask)
 
 
-@functools.lru_cache(maxsize=4)
-def _make_fused(interpret: bool):
+@functools.lru_cache(maxsize=8)
+def _make_fused(interpret: bool, mm: bool):
     @jax.custom_vjp
     def f(obs, inv_var, log_norm, lo, hi, logw, maskf):
-        out, _ = _fwd(obs, inv_var, log_norm, lo, hi, logw, maskf, interpret)
+        out, _ = _fwd(obs, inv_var, log_norm, lo, hi, logw, maskf,
+                      interpret, mm)
         return out
 
     f.defvjp(
-        functools.partial(_fwd_rule, interpret),
-        functools.partial(_bwd_rule, interpret),
+        functools.partial(_fwd_rule, interpret, mm),
+        functools.partial(_bwd_rule, interpret, mm),
     )
     return f
 
@@ -395,10 +487,36 @@ def fused_log_marginals(
     logw: Array,     # [T]
     maskf: Array,    # [T] float {0, 1}
     interpret: bool = False,
+    matmul: bool | None = None,
 ) -> Array:
     """Per-star log marginal cluster likelihood, fused on-chip.  Matches
     likelihood.ms_star_log_marginals(stars, table) with the table pieces
-    passed explicitly.  Differentiable wrt log_norm/lo/hi/logw."""
-    return _make_fused(bool(interpret))(
+    passed explicitly.  Differentiable wrt log_norm/lo/hi/logw.
+
+    `matmul`: run the alpha/beta/gamma band contractions on the MXU
+    (_abg_matmul).  Inputs are per-band centered here on the masked mean
+    observed magnitude — a stop-gradient constant shift that cancels
+    from every (obs - model) difference, so cotangents w.r.t. the
+    ORIGINAL lo/hi are the centered ones unchanged; it exists only to
+    bound the expanded-quadratic float32 cancellation (see
+    _abg_matmul).  Default False: measured on-chip (r5, 64 chains,
+    S=100, T=504) the MXU form saves nothing — the kernel is bound by
+    the transcendental core (erf/exp/rsqrt), not the band FMAs — so the
+    exact residual-form band loop (bit-identical to
+    ms_star_log_marginals' formulation) stays the production path and
+    the matmul path remains parity-tested for wider-band sets (B >~ 32,
+    where the contraction share grows)."""
+    if matmul is None:
+        matmul = False
+    if matmul:
+        nobs = jnp.sum(inv_var > 0, axis=0)
+        c = jax.lax.stop_gradient(
+            jnp.sum(jnp.where(inv_var > 0, obs, 0.0), axis=0)
+            / jnp.maximum(nobs, 1)
+        )
+        obs = jnp.where(inv_var > 0, obs - c[None, :], 0.0)
+        lo = lo - c[None, :]
+        hi = hi - c[None, :]
+    return _make_fused(bool(interpret), bool(matmul))(
         obs, inv_var, log_norm, lo, hi, logw, maskf
     )

@@ -384,16 +384,15 @@ def cmd_single_pop(args) -> None:
                     q0_sd=sd0,
                 )
             else:
-                # 4 independent replicates (one compile, vmapped): the
-                # evidence estimate carries a repeat-run standard error.
-                from base_tpu.inference.smc import run_smc_replicated
+                # 4 independent replicates, stage-chunked (one device
+                # execution per tempering stage — tunnel-safe at any
+                # density size) with a repeat-run evidence SE.
+                from base_tpu.inference.smc import make_smc_chunked_runner
 
                 n_rep = 4
                 scfg = SMCConfig(n_particles=max(n_part // n_rep, 64))
-                z_part, info = jax.jit(
-                    lambda k: run_smc_replicated(
-                        fz, sample_q0, log_q0, k, scfg, n_rep=n_rep
-                    )
+                z_part, info = make_smc_chunked_runner(
+                    fz, sample_q0, log_q0, scfg, n_rep=n_rep
                 )(jax.random.fold_in(key, 2))
             zs = z_part[:, None, :]      # [N, 1, P]
             lps = jax.vmap(fz)(z_part)[:, None]
@@ -794,7 +793,7 @@ def cmd_multi_pop(args) -> None:
         lps = np.asarray(lps)
         accept = float(info["accept_prob"])
     elif s.mcmc.sampler == "smc":
-        from base_tpu.inference.smc import SMCConfig, run_smc_replicated
+        from base_tpu.inference.smc import SMCConfig
 
         tr = mp.ordered_transform(model)
         fz = mp.make_logpost_z_fn(model, tr)
@@ -823,12 +822,12 @@ def cmd_multi_pop(args) -> None:
                 q0_sd=sd0,
             )
         else:
+            from base_tpu.inference.smc import make_smc_chunked_runner
+
             n_rep = 4
             scfg = SMCConfig(n_particles=max(n_part // n_rep, 64))
-            z_part, info = jax.jit(
-                lambda k: run_smc_replicated(
-                    fz, sample_q0, log_q0, k, scfg, n_rep=n_rep
-                )
+            z_part, info = make_smc_chunked_runner(
+                fz, sample_q0, log_q0, scfg, n_rep=n_rep
             )(jax.random.fold_in(key, 2))
         xs = np.asarray(jax.vmap(tr.forward)(z_part))[:, None, :]
         lps = np.asarray(jax.vmap(fz)(z_part))[:, None]

@@ -57,7 +57,7 @@ def main():
         grid, stars, prior_mean=TRUTH,
         prior_sigma=np.array([-1, -1, 0.3, 0.2, 0.1, -1, -1, -1, -1],
                              np.float32),
-        n_q=8, use_pallas=use_pallas)
+        n_q=8, use_pallas=use_pallas, upsample=4)
     tr = post.default_transform(model)
     fz = post.make_logpost_z_fn(model, tr)
     z0 = tr.inverse(jnp.asarray(TRUTH))

@@ -62,7 +62,7 @@ def main():
          np.asarray([-1, -1, -1], np.float32)])
     model = mp.make_multipop_model(
         grid, stars, prior_mean, prior_sigma, n_q=8,
-        use_pallas=use_pallas,
+        use_pallas=use_pallas, upsample=4,
     )
     tr = mp.ordered_transform(model)
     fz = mp.make_logpost_z_fn(model, tr)

@@ -35,12 +35,28 @@ def _jnp_ref(stars, table):
     return lk.ms_star_log_marginals(stars, table)
 
 
-def _pallas(stars, table):
+def _pallas(stars, table, matmul=None):
     return fused_log_marginals(
         stars.obs_mags, stars.inv_var, stars.log_norm,
         table.lo, table.hi, table.logw,
         table.mask.astype(jnp.float32), True,  # interpret on CPU
+        matmul=matmul,
     )
+
+
+@pytest.mark.parametrize("matmul", [False, True])
+def test_forward_parity_contraction_forms(rng, matmul):
+    """Both alpha/beta/gamma forms (residual band loop and the MXU
+    matmul expansion with per-band centering) must match the jnp path;
+    the matmul form additionally must match the LOOP form to ~1e-3
+    (its float32 cancellation budget, _abg_matmul docstring)."""
+    stars, table = _random_problem(rng, S=64, T=128)
+    want = np.asarray(_jnp_ref(stars, table))
+    got = np.asarray(_pallas(stars, table, matmul=matmul))
+    sel = want > -200
+    np.testing.assert_allclose(got[sel], want[sel], rtol=0, atol=5e-2)
+    loop = np.asarray(_pallas(stars, table, matmul=False))
+    np.testing.assert_allclose(got[sel], loop[sel], rtol=0, atol=5e-3)
 
 
 def test_forward_parity(rng):
@@ -120,3 +136,99 @@ def test_vmap_over_tables(rng):
         want = np.asarray(_jnp_ref(stars, t))
         sel = want > -200
         np.testing.assert_allclose(got[i][sel], want[sel], atol=5e-2)
+
+
+# ---------------------------------------------------------------------------
+# Fused table-build kernel (ops.pallas_table) parity
+# ---------------------------------------------------------------------------
+
+
+def _iso_problem(rng, E=24, B=6, upsample=1):
+    import numpy as np
+
+    from base_tpu.grids import synthetic
+    from base_tpu.grids.isochrone import derive_isochrone, upsample_isochrone
+
+    grid = synthetic.make_grid(n_eep=E, bands=["U", "B", "V", "R", "I",
+                                               "J"][:B])
+    base = derive_isochrone(grid, jnp.asarray(-0.5), jnp.asarray(0.27),
+                            jnp.asarray(9.3))
+    iso = upsample_isochrone(base, upsample) if upsample > 1 else base
+    q = jnp.linspace(0.0, 1.0, 7)
+    coefs = jnp.asarray(np.linspace(1.2, 0.4, B), jnp.float32)
+    return iso, base, q, coefs
+
+
+@pytest.mark.parametrize("upsample", [1, 3])
+def test_fused_table_matches_jnp(rng, upsample):
+    """build_segment_table_fused == build_segment_table (binaries) to
+    float32 reassociation, including the upsampled/base-secondary split."""
+    iso, base, q, coefs = _iso_problem(rng, upsample=upsample)
+    mod = jnp.asarray(9.7)
+    av = jnp.asarray(0.23)
+    want = lk.build_segment_table(iso, q, mod, av, coefs, binaries=True,
+                                  sec_iso=base)
+    got = lk.build_segment_table_fused(iso, q, mod, av, coefs,
+                                       sec_iso=base, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.lo), np.asarray(want.lo),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got.hi), np.asarray(want.hi),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got.logw), np.asarray(want.logw),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got.mask),
+                                  np.asarray(want.mask))
+
+
+def test_fused_table_vjp_matches_jnp(rng):
+    """Gradients of a table functional w.r.t. the proposal inputs must
+    agree between the fused kernel's analytic backward and XLA autodiff
+    of the jnp builder — this is the table half of the fusion's
+    correctness story (cotangents flow through the smoothstep weights
+    into the base mass axis AND the node masses)."""
+    iso, base, q, coefs = _iso_problem(rng, upsample=2)
+    w_lo = jnp.asarray(rng.normal(0, 1, (iso.mass.shape[0] - 1)
+                                  * q.shape[0] * coefs.shape[0])
+                       .reshape(-1, coefs.shape[0]).astype(np.float32))
+
+    def functional(builder):
+        def f(mod, av, mags, sec_mags, s_mass, s_axis, s_mm):
+            import dataclasses as dc
+
+            # Separate scales stress each mass-gradient path on its own
+            # (node masses -> dm2; the base lookup axis -> dxl/dxr/
+            # dinv_d*; min_mass -> the lit ramp).  A single joint scale
+            # is ill-conditioned: the three paths cancel to ~0 by the
+            # interpolation identity, so their float32 residuals would
+            # dominate the comparison.
+            iso2 = dc.replace(iso, mags=mags, mass=s_mass * iso.mass)
+            base2 = dc.replace(
+                base, mags=sec_mags,
+                mass_sorted=s_axis * base.mass_sorted,
+                min_mass=s_mm * base.min_mass,
+            )
+            t = builder(iso2, q, mod, av, coefs, base2)
+            return jnp.sum(t.lo * w_lo) + jnp.sum(jnp.cos(t.hi))
+
+        return f
+
+    f_jnp = functional(
+        lambda i, qq, m, a, c, s: lk.build_segment_table(
+            i, qq, m, a, c, binaries=True, sec_iso=s)
+    )
+    f_pal = functional(
+        lambda i, qq, m, a, c, s: lk.build_segment_table_fused(
+            i, qq, m, a, c, sec_iso=s, interpret=True)
+    )
+    args = (jnp.asarray(9.7), jnp.asarray(0.23), iso.mags, base.mags,
+            jnp.asarray(1.03), jnp.asarray(1.01), jnp.asarray(0.98))
+    want = jax.grad(f_jnp, argnums=(0, 1, 2, 3, 4, 5, 6))(*args)
+    got = jax.grad(f_pal, argnums=(0, 1, 2, 3, 4, 5, 6))(*args)
+    for w, gt, name in zip(want, got,
+                           ["mod", "av", "mags", "sec_mags",
+                            "s_mass", "s_axis", "s_minmass"]):
+        w = np.asarray(w)
+        gt = np.asarray(gt)
+        scale = np.abs(w).max() + 1e-6
+        np.testing.assert_allclose(gt / scale, w / scale, atol=2e-4,
+                                   err_msg=name)

@@ -142,3 +142,28 @@ def test_smc_replicated_evidence_se():
     # error slightly at n_rep=4; keep a wide band)
     assert abs(le - LOG_Z) < max(4 * se, 0.25)
     np.testing.assert_allclose(np.asarray(z).mean(0), MEAN, atol=0.15)
+
+
+def test_chunked_runner_matches_replicated():
+    """make_smc_chunked_runner must reproduce run_smc_replicated
+    EXACTLY (same per-stage math, same key schedule; the host loop only
+    truncates post-beta=1 no-op stages)."""
+    from base_tpu.inference.smc import (
+        SMCConfig, make_smc_chunked_runner, run_smc_replicated,
+    )
+
+    cfg = SMCConfig(n_particles=128, n_move=2, max_stages=16)
+    key = jax.random.PRNGKey(11)
+    z_a, info_a = jax.jit(
+        lambda k: run_smc_replicated(log_target, sample_q0, log_q0, k,
+                                     cfg, n_rep=3)
+    )(key)
+    runner = make_smc_chunked_runner(log_target, sample_q0, log_q0, cfg,
+                                     n_rep=3)
+    z_b, info_b = runner(key)
+    np.testing.assert_allclose(np.asarray(z_a), np.asarray(z_b),
+                               atol=1e-5)
+    np.testing.assert_allclose(float(info_a["log_evidence"]),
+                               float(info_b["log_evidence"]), atol=1e-4)
+    assert int(info_a["n_stages"]) == int(info_b["n_stages"])
+    assert abs(float(info_a["accept"]) - float(info_b["accept"])) < 0.05
