@@ -59,6 +59,18 @@ class ClusterSettings:
     prior_ifmrSlope_sigma: float = -1.0
     prior_ifmrQuadCoef: float = 0.0
     prior_ifmrQuadCoef_sigma: float = -1.0
+    # Per-band side of the uniform field-star CMD box (the field
+    # mixture's density is 1/prod(range_b) over observed bands).  A
+    # scalar applies to every band; a list gives per-band widths.  The
+    # box should match the survey's actual field span — a
+    # mis-normalized field density reweights the membership mixture
+    # and biases the cluster parameters (benchmarks/bias_study.out).
+    fieldMagRange: float | list = 20.0
+
+    def field_mag_range_array(self, n_bands: int) -> np.ndarray:
+        return np.broadcast_to(
+            np.asarray(self.fieldMagRange, np.float32), (n_bands,)
+        ).copy()
 
     def start_vector(self) -> np.ndarray:
         v = np.zeros(C.NPARAMS, np.float32)

@@ -61,7 +61,7 @@ def make_ms_stars(
     mags: np.ndarray,
     sigmas: np.ndarray,
     cm_prior: np.ndarray | float = 0.999,
-    field_mag_range: float = 20.0,
+    field_mag_range: np.ndarray | float = 20.0,
     pad_to: int | None = None,
     sigma_model: float = 0.0,
 ) -> MSStars:
@@ -70,7 +70,10 @@ def make_ms_stars(
     cm_prior mirrors the .phot CMprior column [SURVEY.md C14]; the
     field-star component is a uniform density over a CMD box of side
     `field_mag_range` mag in each observed band [upstream: base9/densities
-    field-star mixture — SURVEY.md C9].
+    field-star mixture — SURVEY.md C9].  Pass a [B] array for per-band
+    box widths (e.g. `sim.simulate.field_cmd_box` spans) — a field
+    density mis-normalized relative to the true field distribution
+    skews the membership mixture and with it the cluster parameters.
 
     sigma_model is a model-discretization floor added in quadrature to
     the observational uncertainties (sigma_eff^2 = sigma^2 +
@@ -93,8 +96,8 @@ def make_ms_stars(
     log_norm = np.where(
         observed, -np.log(np.maximum(sigmas_eff, 1e-12)) - LOG_SQRT_2PI, 0.0
     ).sum(-1)
-    n_obs = observed.sum(-1)
-    field_logdens = -n_obs * np.log(field_mag_range)
+    rng = np.broadcast_to(np.asarray(field_mag_range, np.float32), (B,))
+    field_logdens = -np.where(observed, np.log(rng)[None, :], 0.0).sum(-1)
 
     if pad_to is None:
         pad_to = S

@@ -56,6 +56,7 @@ def scatter_cluster(
     faint_limit: float = 30.0,
     sigma_floor: float = 0.01,
     relevant_filt: int | None = None,
+    censor: bool = True,
 ) -> ScatteredCatalog:
     """Add noise + apply cutoffs.
 
@@ -64,9 +65,25 @@ def scatter_cluster(
     `relevant_filt` is given, the bright/faint limits cut on THAT band
     only and blank the whole star (reference semantics); otherwise the
     limits apply band-wise.
+
+    censor=False keeps every band observed (noise still follows the
+    S/N model, so bands past the limit carry ~mag-scale sigmas and
+    almost no information).  Detection cuts on the NOISY magnitude are
+    a Malmquist truncation the Gaussian likelihood does not model
+    (kept faint stars are preferentially up-fluctuated); measured at
+    the acceptance-scenario configs it censors 0-0.4% of bands
+    (scripts/bias_study.py censor: zero drift change at limit 26), so
+    it is a sub-sigma effect there — but self-consistency artifacts
+    (SBC, truth-recovery) generate from the exact model class they
+    fit, so they pass censor=False on principle.  Survey pipelines
+    that DO cut at the limit inherit the same un-modeled truncation
+    the reference has [upstream: scatterCluster cutoffs, SURVEY.md
+    E4].
     """
     sig = sigma_model(mags, limit_mag, sigma_floor)
     noisy = mags + sig * jax.random.normal(key, mags.shape)
+    if not censor:
+        return ScatteredCatalog(mags=noisy, sigmas=sig)
     detected = noisy < (jnp.asarray(limit_mag) + 1.0)
     if relevant_filt is None:
         in_cut = (noisy > bright_limit) & (noisy < faint_limit)

@@ -41,6 +41,19 @@ def sample_imf_masses(key, n: int, lo: float, hi: float) -> Array:
     return 10.0 ** (C.IMF_LOG_MEAN + C.IMF_LOG_SIGMA * z)
 
 
+def field_cmd_box(ref_mags: Array, spread: float = 3.0):
+    """The per-band uniform-field CMD box: cluster span +/- spread.
+
+    Returns (lo[B], hi[B]).  Fitting code should pass `hi - lo` as
+    make_ms_stars(field_mag_range=...) so the likelihood's field density
+    is normalized over the SAME box the field stars occupy — a
+    mis-normalized field density reweights the membership mixture and
+    biases the cluster parameters."""
+    lo = jnp.min(ref_mags, axis=0) - spread
+    hi = jnp.max(ref_mags, axis=0) + spread
+    return lo, hi
+
+
 def simulate_field_stars(
     key, n: int, ref_mags: Array, spread: float = 3.0
 ) -> Array:
@@ -49,8 +62,7 @@ def simulate_field_stars(
     reference's uniform field-CMD density assumption [upstream:
     simCluster field stars + base9/densities field component —
     SURVEY.md E3/C9].  Returns [n, B] apparent magnitudes."""
-    lo = jnp.min(ref_mags, axis=0) - spread
-    hi = jnp.max(ref_mags, axis=0) + spread
+    lo, hi = field_cmd_box(ref_mags, spread)
     u = jax.random.uniform(key, (n, ref_mags.shape[1]))
     return lo[None, :] + u * (hi - lo)[None, :]
 

@@ -213,11 +213,15 @@ def _build_model_from_phot(s: Settings, table: photio.PhotTable):
     usable = (stage == C.StarStatus.MSRG) | is_wd
     ms_rows = table.select(usable & ~is_wd)
     wd_rows = table.select(is_wd)
-    ms = make_ms_stars(ms_rows.mags, ms_rows.sigmas, cm_prior=ms_rows.cm_prior)
+    frange = s.cluster.field_mag_range_array(ms_rows.mags.shape[1])
+    ms = make_ms_stars(ms_rows.mags, ms_rows.sigmas, cm_prior=ms_rows.cm_prior,
+                       field_mag_range=frange)
     wds = None
     if wd_rows.n_stars > 0:
         wds = make_ms_stars(
-            wd_rows.mags, wd_rows.sigmas, cm_prior=wd_rows.cm_prior
+            wd_rows.mags, wd_rows.sigmas, cm_prior=wd_rows.cm_prior,
+            field_mag_range=s.cluster.field_mag_range_array(
+                wd_rows.mags.shape[1]),
         )
     model = post.make_single_pop_model(
         bundle.ms, ms,
@@ -666,7 +670,9 @@ def cmd_multi_pop(args) -> None:
     table = photio.read_phot(s.files.photFile)
     bundle = make_model(s)
     rows = table.select(table.stage == C.StarStatus.MSRG)
-    stars = make_ms_stars(rows.mags, rows.sigmas, cm_prior=rows.cm_prior)
+    stars = make_ms_stars(rows.mags, rows.sigmas, cm_prior=rows.cm_prior,
+                          field_mag_range=s.cluster.field_mag_range_array(
+                              rows.mags.shape[1]))
     wd_kwargs = {}
     wd_rows = table.select(table.stage == C.StarStatus.WD)
     if wd_rows.n_stars > 0:
@@ -674,7 +680,9 @@ def cmd_multi_pop(args) -> None:
             wd_cooling=bundle.wd_cooling,
             wd_atm=bundle.wd_atm,
             wd_stars=make_ms_stars(
-                wd_rows.mags, wd_rows.sigmas, cm_prior=wd_rows.cm_prior
+                wd_rows.mags, wd_rows.sigmas, cm_prior=wd_rows.cm_prior,
+                field_mag_range=s.cluster.field_mag_range_array(
+                    wd_rows.mags.shape[1]),
             ),
             ifmr_kind=bundle.ifmr_kind,
             p_db=s.simCluster.percentDB,

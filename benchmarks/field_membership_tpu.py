@@ -35,7 +35,8 @@ def main():
     from base_tpu.model import posterior as post
     from base_tpu.model.stardata import make_ms_stars
     from base_tpu.sim.scatter import scatter_cluster
-    from base_tpu.sim.simulate import simulate_cluster, simulate_field_stars
+    from base_tpu.sim.simulate import (field_cmd_box, simulate_cluster,
+                                       simulate_field_stars)
 
     grid = synthetic.make_grid(n_eep=64)
     S, n_field = 200, 40
@@ -44,14 +45,20 @@ def main():
                            min_mass=0.15)
     fmags = simulate_field_stars(jax.random.PRNGKey(1), n_field, cat.mags)
     mags = jnp.concatenate([cat.mags, fmags])
-    sc = scatter_cluster(mags, jax.random.PRNGKey(2), limit_mag=26.0)
+    sc = scatter_cluster(mags, jax.random.PRNGKey(2), limit_mag=26.0,
+                          censor=False)
     # Membership priors: members 0.9, interlopers 0.3 (the sampler only
     # sees the priors; truth labels are held out for scoring).
     cm = np.concatenate([np.full(S, 0.9, np.float32),
                          np.full(n_field, 0.3, np.float32)])
     is_field = np.concatenate([np.zeros(S, bool), np.ones(n_field, bool)])
+    # Field density normalized over the SAME box the interlopers were
+    # drawn from (self-consistent mixture — a 20-mag default box
+    # underweights the field component and drags mod/FeH).
+    lo, hi = field_cmd_box(cat.mags)
     stars = make_ms_stars(np.asarray(sc.mags), np.asarray(sc.sigmas),
-                          cm_prior=cm)
+                          cm_prior=cm,
+                          field_mag_range=np.asarray(hi - lo))
     use_pallas = jax.default_backend() == "tpu"
     model = post.make_single_pop_model(
         grid, stars, prior_mean=TRUTH,
@@ -93,6 +100,8 @@ def main():
             truth=round(float(TRUTH[i]), 4),
             z=round(float((xnp[..., i].mean() - TRUTH[i])
                           / max(xnp[..., i].std(), 1e-9)), 2),
+            truth_quantile=round(
+                float((xnp[..., i] < TRUTH[i]).mean()), 3),
             rhat=round(float(rhat[i]), 4),
         )
     evals = (cfg.n_warmup + cfg.n_samples) * cfg.l_max * C

@@ -54,22 +54,23 @@ def main():
     cat = simulate_cluster(grid, jnp.asarray(truth), S,
                            jax.random.PRNGKey(0), percent_binary=1.0,
                            min_mass=0.15)
-    # limit_mag 24 = realistic photometric noise (faint stars get
-    # large sigmas).  A no-cutoff / sigma-floor variant (limit 33) was
-    # tried and tightens the posterior BELOW the quadrature-wiggle
-    # scale — the honest operating point for this artifact is survey-
-    # realistic noise, with the residual ~0.03-dex age bias (z ~ -8 at
-    # the 10k-star statistical error) stated as quadrature-resolution
-    # limited (upsample / n_q shrink it as h^2).
-    sc = scatter_cluster(cat.mags, jax.random.PRNGKey(1), limit_mag=24.0)
+    # limit_mag 24 = survey-realistic photometric noise (faint stars
+    # get mag-scale sigmas).  censor=False: the detection cut on the
+    # NOISY magnitude is a Malmquist truncation the likelihood does not
+    # model, and at 10k stars even its small per-star bias is many
+    # statistical sd (scripts/bias_study.py censor isolates it at
+    # S=200); the truth-recovery artifact must generate from the model
+    # class it fits.
+    sc = scatter_cluster(cat.mags, jax.random.PRNGKey(1), limit_mag=24.0,
+                         censor=False)
     stars = make_ms_stars(np.asarray(sc.mags), np.asarray(sc.sigmas),
                           cm_prior=0.99)
     use_pallas = jax.default_backend() == "tpu"
-    # upsample > 1: at 10k stars the statistical error is below the
-    # piecewise-linear quadrature bias (run 1: age mean 9.5 sd off
-    # truth at upsample=1); refining the segment quadrature shrinks the
-    # bias ~h^2 at linear cost in T.
-    upsample = int(os.environ.get("LONGAXIS_UPSAMPLE", "1"))
+    # upsample=4 (the production default): at 10k stars the statistical
+    # error is below the upsample=1 piecewise-linear quadrature bias
+    # (r4 run: age z = -7.9); refining the segment quadrature shrinks
+    # the bias ~h^2 at linear cost in T.
+    upsample = int(os.environ.get("LONGAXIS_UPSAMPLE", "4"))
     model = post.make_single_pop_model(
         grid, stars, prior_mean=truth,
         prior_sigma=np.array([-1, -1, 0.3, 0.2, 0.1, -1, -1, -1, -1],
@@ -101,12 +102,20 @@ def main():
     }), flush=True)
 
     # ---- stage 2: HMC from VI draws, VI metric --------------------------
-    cfg = HMCConfig(n_warmup=192, n_samples=1024, l_max=24, n_windows=6,
+    # Window/chunk sizes are env-tunable: at upsample=4 the per-draw
+    # device cost is ~4x, and every single execution (one warmup
+    # window, one sampling chunk) must stay under the tunnel's ~60 s
+    # kill — more, smaller windows keep the same total adaptation.
+    n_win = int(os.environ.get("LONGAXIS_WINDOWS", "6"))
+    chunk = int(os.environ.get("LONGAXIS_CHUNK", "24"))
+    n_samp = int(os.environ.get("LONGAXIS_SAMPLES", "1024"))
+    cfg = HMCConfig(n_warmup=192, n_samples=n_samp, l_max=24,
+                    n_windows=n_win,
                     dense_mass=True, free_mask=tuple(free),
                     jitter_mode="step", chain_chunk=8,
                     init_step=0.1)
-    runner = make_hmc_chunked_runner(fz, cfg, chunk_draws=24)
-    zs, info = runner(init, jax.random.PRNGKey(7), 24,
+    runner = make_hmc_chunked_runner(fz, cfg, chunk_draws=chunk)
+    zs, info = runner(init, jax.random.PRNGKey(7), chunk,
                       inv_mass0=inv_mass0)           # warm compile
     jax.block_until_ready(zs)
     t1 = time.perf_counter()
@@ -132,6 +141,7 @@ def main():
         "age_mean": round(float(age.mean()), 5),
         "age_sd": round(float(age.std()), 5),
         "age_truth_z": round(float((age.mean() - truth[0]) / max(age.std(), 1e-9)), 2),
+        "age_truth_quantile": round(float((age < truth[0]).mean()), 3),
         "grad_evals_per_sec": round(evals / dt, 0),
         "star_evals_per_sec_M": round(evals * S / dt / 1e6, 1),
     }

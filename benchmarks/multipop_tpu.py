@@ -51,7 +51,8 @@ def main():
                              jax.random.PRNGKey(1), percent_binary=1.0,
                              min_mass=0.15)
     mags = jnp.concatenate([cat_a.mags, cat_b.mags])
-    sc = scatter_cluster(mags, jax.random.PRNGKey(2), limit_mag=24.0)
+    sc = scatter_cluster(mags, jax.random.PRNGKey(2), limit_mag=24.0,
+                         censor=False)
     stars = make_ms_stars(np.asarray(sc.mags), np.asarray(sc.sigmas),
                           cm_prior=0.99)
     use_pallas = jax.default_backend() == "tpu"
@@ -116,6 +117,8 @@ def main():
             truth=round(float(truth12[i]), 4),
             z=round(float((xnp[..., i].mean() - truth12[i])
                           / max(xnp[..., i].std(), 1e-9)), 2),
+            truth_quantile=round(
+                float((xnp[..., i] < truth12[i]).mean()), 3),
             rhat=round(float(rhat[i]), 4),
         )
     evals = (cfg.n_warmup + cfg.n_samples) * cfg.l_max * C * 2  # 2 isochrones

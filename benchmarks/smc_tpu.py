@@ -23,7 +23,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from base_tpu.inference.smc import SMCConfig, run_smc
+    from base_tpu.inference.smc import SMCConfig, run_smc_replicated
     from base_tpu.grids import synthetic
     from base_tpu.model import posterior as post
     from base_tpu.model.stardata import make_ms_stars
@@ -53,12 +53,15 @@ def main():
     def sample_q0(k, n):
         return z0[None, :] + sd0 * jax.random.normal(k, (n, 9))
 
-    # move_scale 0.4: the density's small-scale roughness (see
-    # BASELINE.md) makes full 2.38^2/d random-walk steps reject; n_move
-    # 6 keeps total move distance up.
-    cfg = SMCConfig(n_particles=2048, max_stages=24, n_move=6,
-                    move_scale=0.4)
-    runner = jax.jit(lambda k: run_smc(fz, sample_q0, log_q0, k, cfg))
+    # Move-kernel autotuning ON (defaults): the r3/r4 artifact pinned
+    # move_scale at 0.4 and sat at accept 0.13; the adaptive scale
+    # should land acceptance in the 0.2-0.5 mixing band on its own.
+    # 4 replicates give the log-evidence a repeat-run SE.
+    n_rep = 4
+    cfg = SMCConfig(n_particles=2048, max_stages=24, n_move=6)
+    runner = jax.jit(
+        lambda k: run_smc_replicated(fz, sample_q0, log_q0, k, cfg,
+                                     n_rep=n_rep))
     parts, info = runner(jax.random.PRNGKey(3))   # compile + run
     jax.block_until_ready(parts)
     t0 = time.perf_counter()
@@ -68,11 +71,14 @@ def main():
     xs = np.asarray(jax.vmap(tr.forward)(parts))
     print(json.dumps({
         "backend": jax.default_backend(),
-        "n_particles": cfg.n_particles,
+        "n_rep": n_rep,
+        "particles_per_rep": cfg.n_particles,
         "wall_s": round(dt, 2),
         "n_stages": int(info["n_stages"]),
         "move_accept": round(float(info["accept"]), 3),
+        "move_scale": round(float(info["move_scale"]), 4),
         "log_evidence": round(float(info["log_evidence"]), 2),
+        "log_evidence_se": round(float(info["log_evidence_se"]), 3),
         "age_mean": round(float(xs[:, 0].mean()), 4),
         "age_sd": round(float(xs[:, 0].std()), 4),
         "feh_mean": round(float(xs[:, 2].mean()), 4),

@@ -63,12 +63,20 @@ def main():
     wds = make_ms_stars(mags[is_wd], sigs[is_wd], cm_prior=0.99)
     use_pallas = jax.default_backend() == "tpu"
     # Priors: loose Gaussians on the IFMR coefficients (the reference's
-    # tunable-IFMR runs do the same [SURVEY.md C8]); carbonicity flat.
+    # tunable-IFMR runs do the same [SURVEY.md C8]).  Carbonicity: the
+    # reference does not sample it by default (sampleCarbonicity off);
+    # sampling it under a FLAT prior leaves the curved (mod, carb)
+    # WD-photometric valley with no scale — the diagnosed r4 slow mode
+    # (R-hat ~2 at 49k draws; two SMC replicate sets disagree along the
+    # valley).  WDIFMR_CARB_SIGMA sets a physical prior sd; <= 0
+    # reproduces the flat-prior stress test.
+    carb_sigma = float(os.environ.get("WDIFMR_CARB_SIGMA", "0.1"))
     model = post.make_single_pop_model(
         grid, ms,
         prior_mean=TRUTH,
         prior_sigma=np.array(
-            [-1, -1, 0.3, 0.2, 0.1, -1, 0.3, 0.15, -1], np.float32),
+            [-1, -1, 0.3, 0.2, 0.1, carb_sigma, 0.3, 0.15, -1],
+            np.float32),
         n_q=8, wd_cooling=wd_cooling, wd_atm=wd_atm, wd_stars=wds,
         ifmr_kind="linear", p_db=0.1, use_pallas=use_pallas,
         upsample=4,
@@ -77,6 +85,14 @@ def main():
     fz = post.make_logpost_z_fn(model, tr)
     z0 = tr.inverse(jnp.asarray(TRUTH))
     free = post.free_mask(model)
+    if os.environ.get("WDIFMR_PIN_CARB") == "1":
+        # Reference-parity default: sampleCarbonicity is OFF in BASE-9
+        # — carbonicity held at its configured value.  Pinning removes
+        # the flat curved (mod, carb) valley (the diagnosed slow mode)
+        # and the remaining 7-param posterior mixes crisply.
+        f = np.asarray(free, np.float32).copy()
+        f[5] = 0.0
+        free = tuple(f)
     print(json.dumps({
         "backend": jax.default_backend(), "n_ms": int((~is_wd).sum()),
         "n_wd": int(is_wd.sum()), "use_pallas": use_pallas,
@@ -118,7 +134,11 @@ def main():
             )
 
         scfg = SMCConfig(n_particles=n_part,
-                         n_move=int(os.environ.get("WDIFMR_NMOVE", "3")))
+                         n_move=int(os.environ.get("WDIFMR_NMOVE", "3")),
+                         max_stages=int(os.environ.get(
+                             "WDIFMR_STAGES", "24")),
+                         ess_target=float(os.environ.get(
+                             "WDIFMR_ESST", "0.6")))
         # Stage-chunked: one device execution per tempering stage (the
         # single-jit replicated run at 512 stars x upsample=4 exceeds
         # the tunnel's ~60 s device-execution cap).

@@ -33,7 +33,7 @@ def test_vi_initialized_sharded_hmc_converges(small_grid):
     model = post.make_single_pop_model(
         small_grid, stars, prior_mean=TRUTH,
         prior_sigma=np.array([-1, -1, 0.3, 0.2, 0.1, -1, -1, -1, -1],
-                             np.float32), n_q=4)
+                             np.float32), n_q=4, upsample=4)
     tr = post.default_transform(model)
     fz = post.make_logpost_z_fn(model, tr)
     z0 = tr.inverse(jnp.asarray(TRUTH))
@@ -65,7 +65,9 @@ def test_vi_initialized_sharded_hmc_converges(small_grid):
     rhat = np.asarray(diag.split_rhat(jnp.asarray(xs[:, :, :5])))
     # Converged at CI budget: every live parameter mixes.
     assert rhat.max() < 1.05, rhat
-    # Truth recovery: posterior covers the truth at ~4 sd (384 stars ->
-    # tight posterior; 4 sd absorbs quadrature bias at n_q=4).
+    # Truth recovery at <= 2 sd: upsample=4 (the production default)
+    # puts the quadrature bias below the 384-star statistical error
+    # (benchmarks/bias_study.out h^2 decay), so the posterior must
+    # cover the truth within ordinary Monte-Carlo error.
     age = xs[:, :, 0]
-    assert abs(age.mean() - TRUTH[0]) < max(4 * age.std(), 0.02)
+    assert abs(age.mean() - TRUTH[0]) < max(2 * age.std(), 0.01)
