@@ -153,6 +153,16 @@ class McmcSettings:
     # noise.  Cost is linear in upsample through the segment count; set 1
     # for throughput-only runs on single-star-dominated data.
     upsample: int = 4
+    # Model-discretization noise floor, added in quadrature to the
+    # observational sigmas (stardata.make_ms_stars sigma_model):
+    # magnitudes should not be trusted below the quadrature node
+    # spacing.  At very large S the statistical error drops BELOW the
+    # upsampled piecewise-linear wiggle scale and HMC chains trap in
+    # quadrature kinks (measured at 10k stars / upsample=4: R-hat ~460
+    # with the floor off — benchmarks/longaxis_10k_converged.py);
+    # ~0.01 mag restores clean mixing at survey-realistic budgets.
+    # 0 disables (fine through ~1k stars at upsample=4).
+    sigmaModel: float = 0.0
 
 
 @dataclasses.dataclass
@@ -232,7 +242,14 @@ def _apply(obj: Any, path: list[str], value: str) -> None:
     elif isinstance(current, int):
         parsed = int(value)
     elif isinstance(current, float):
-        parsed = float(value)
+        # float-or-list keys (cluster.fieldMagRange): a YAML list or a
+        # comma-separated override becomes a per-band list of floats.
+        if isinstance(value, (list, tuple)):
+            parsed = [float(x) for x in value]
+        elif isinstance(value, str) and "," in value:
+            parsed = [float(x) for x in value.split(",")]
+        else:
+            parsed = float(value)
     elif isinstance(current, list):
         parsed = list(value) if isinstance(value, (list, tuple)) else str(
             value

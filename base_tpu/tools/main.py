@@ -215,13 +215,15 @@ def _build_model_from_phot(s: Settings, table: photio.PhotTable):
     wd_rows = table.select(is_wd)
     frange = s.cluster.field_mag_range_array(ms_rows.mags.shape[1])
     ms = make_ms_stars(ms_rows.mags, ms_rows.sigmas, cm_prior=ms_rows.cm_prior,
-                       field_mag_range=frange)
+                       field_mag_range=frange,
+                       sigma_model=s.mcmc.sigmaModel)
     wds = None
     if wd_rows.n_stars > 0:
         wds = make_ms_stars(
             wd_rows.mags, wd_rows.sigmas, cm_prior=wd_rows.cm_prior,
             field_mag_range=s.cluster.field_mag_range_array(
                 wd_rows.mags.shape[1]),
+            sigma_model=s.mcmc.sigmaModel,
         )
     model = post.make_single_pop_model(
         bundle.ms, ms,
@@ -672,7 +674,8 @@ def cmd_multi_pop(args) -> None:
     rows = table.select(table.stage == C.StarStatus.MSRG)
     stars = make_ms_stars(rows.mags, rows.sigmas, cm_prior=rows.cm_prior,
                           field_mag_range=s.cluster.field_mag_range_array(
-                              rows.mags.shape[1]))
+                              rows.mags.shape[1]),
+                          sigma_model=s.mcmc.sigmaModel)
     wd_kwargs = {}
     wd_rows = table.select(table.stage == C.StarStatus.WD)
     if wd_rows.n_stars > 0:

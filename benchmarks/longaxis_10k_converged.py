@@ -63,8 +63,14 @@ def main():
     # class it fits.
     sc = scatter_cluster(cat.mags, jax.random.PRNGKey(1), limit_mag=24.0,
                          censor=False)
+    # sigma_model: the model-discretization noise floor designed to
+    # pair with upsample (stardata.make_ms_stars docstring) — at 10k
+    # stars the statistical error (~0.003 dex) is BELOW the upsampled
+    # piecewise-linear wiggle scale and chains trap in quadrature kinks
+    # without it (measured: R-hat ~460 at upsample=4, sigma_model=0).
+    sig_model = float(os.environ.get("LONGAXIS_SIGMA_MODEL", "0.01"))
     stars = make_ms_stars(np.asarray(sc.mags), np.asarray(sc.sigmas),
-                          cm_prior=0.99)
+                          cm_prior=0.99, sigma_model=sig_model)
     use_pallas = jax.default_backend() == "tpu"
     # upsample=4 (the production default): at 10k stars the statistical
     # error is below the upsample=1 piecewise-linear quadrature bias

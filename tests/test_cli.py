@@ -40,6 +40,24 @@ def test_settings_roundtrip(workdir):
         load_settings(None, ["mcmc.doesNotExist=1"])
 
 
+def test_settings_field_box_and_sigma_model(workdir):
+    """cluster.fieldMagRange accepts scalar, YAML list, and comma
+    override (per-band field-density box); mcmc.sigmaModel is the
+    quadrature-discretization noise floor."""
+    cfg = workdir / "base9.yaml"
+    cfg.write_text(
+        "cluster:\n  fieldMagRange: [12.0, 13.0]\n"
+        "mcmc:\n  sigmaModel: 0.01\n"
+    )
+    s = load_settings(str(cfg))
+    assert s.mcmc.sigmaModel == 0.01
+    assert list(s.cluster.field_mag_range_array(2)) == [12.0, 13.0]
+    s2 = load_settings(str(cfg), ["cluster.fieldMagRange=11,12,13"])
+    assert list(s2.cluster.field_mag_range_array(3)) == [11.0, 12.0, 13.0]
+    s3 = load_settings(None)
+    assert list(s3.cluster.field_mag_range_array(2)) == [20.0, 20.0]
+
+
 def test_full_workflow(workdir):
     cfg = workdir / "base9.yaml"
     cfg.write_text(
