@@ -142,6 +142,7 @@ def main():
         "ess_age_per_sec": round(ess / (dt + t_vi), 2),
         "ess_per_draw": round(ess / (zs.shape[0] * C), 3),
         "accept": round(float(info["accept_prob"]), 3),
+        "step_size": round(float(info["step_size"]), 6),
         "rhat_age": round(rhat, 4),
         "rhat_max5": round(float(rhat_all.max()), 4),
         "age_mean": round(float(age.mean()), 5),
